@@ -1,0 +1,256 @@
+"""STFT / iSTFT as MXU-friendly framed matmuls.
+
+Behavior contract (reference, /root/reference):
+  - `spectrogram_torch` (`mel_processing.py:51-70`): constant-pad the signal
+    by (n_fft - hop)/2 on both sides, then torch.stft(center=False) and take
+    the magnitude.
+  - `TorchSTFT.inverse` (`stft.py:197-202`): torch.istft(mag * e^{i*phase},
+    n_fft, hop, win) with center=True semantics — per-frame irfft, window,
+    overlap-add, divide by the window sum-square envelope, trim n_fft//2 from
+    both ends; output length (frames-1)*hop.
+  - `stft_loss.stft` (`stft_loss.py:12-28`): torch.stft with center=True
+    (reflect pad n_fft//2) — used by the multi-resolution STFT loss.
+
+TPU-first design: instead of complex FFT ops, frames are extracted with
+static slices (reshape trick when hop | n_fft, else a gather) and the DFT is
+a real matmul against a precomputed (windowed) basis — this keeps the hot
+iSTFT head (n_fft=16) and the spectrogram front-end on the MXU with zero
+host round-trips and no complex dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window, equal to scipy.signal.get_window('hann', n,
+    fftbins=True) used at reference `stft.py:187`."""
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+def _padded_window(win_length: int, n_fft: int) -> np.ndarray:
+    """Hann window zero-padded (centered) to n_fft, torch.stft-style."""
+    win = hann_window(win_length)
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        win = np.pad(win, (left, n_fft - win_length - left))
+    return win
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_basis(n_fft: int, win_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT analysis basis.
+
+    Returns (cos_basis, sin_basis), each [n_fft, n_bins] with
+    n_bins = n_fft//2 + 1, such that for a frame x (length n_fft):
+        real = x @ cos_basis,  imag = x @ sin_basis
+    matches torch.stft's onesided output for the same window.
+    """
+    n_bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    win = _padded_window(win_length, n_fft)[:, None].astype(np.float64)
+    cos_b = (np.cos(ang) * win).astype(np.float32)
+    sin_b = (-np.sin(ang) * win).astype(np.float32)
+    return cos_b, sin_b
+
+
+@functools.lru_cache(maxsize=None)
+def _idft_basis(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-iDFT synthesis basis: frame = real @ Br + imag @ Bi, where
+    (real, imag) are the onesided spectrum rows [n_bins] and frame is the
+    length-n_fft irfft, matching np.fft.irfft / torch.istft's per-frame ifft.
+    """
+    n_bins = n_fft // 2 + 1
+    eye = np.eye(n_bins)
+    br = np.fft.irfft(eye, n=n_fft).astype(np.float32)          # [n_bins, n_fft]
+    bi = np.fft.irfft(1j * eye, n=n_fft).astype(np.float32)     # [n_bins, n_fft]
+    return br, bi
+
+
+def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Extract overlapping frames: y [B, T] -> [B, F, n_fft] with
+    F = 1 + (T - n_fft) // hop. Uses static reshape/slice when hop | n_fft
+    (the model's hot configs: 1024/256, 16/4), else a gather."""
+    b, t = y.shape
+    num_frames = 1 + (t - n_fft) // hop
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        usable = (num_frames - 1 + r) * hop
+        if usable > t:
+            y = jnp.pad(y, ((0, 0), (0, usable - t)))
+        z = y[:, :usable].reshape(b, -1, hop)  # [B, M, hop]
+        cols = [z[:, j : j + num_frames] for j in range(r)]
+        return jnp.concatenate(cols, axis=-1).reshape(b, num_frames, n_fft)
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return jnp.take(y, jnp.asarray(idx), axis=1)
+
+
+def stft(
+    y: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Onesided STFT -> (real, imag), each [B, n_bins, F].
+
+    center=True matches torch.stft defaults (used by the MR-STFT loss,
+    reference `stft_loss.py:23`); center=False matches the spectrogram
+    front-end after its own explicit padding (`mel_processing.py:63-67`).
+    """
+    if y.ndim == 1:
+        y = y[None]
+    if center:
+        p = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (p, p)), mode=pad_mode)
+    frames = frame_signal(y, n_fft, hop_length)  # [B, F, n_fft]
+    cos_b, sin_b = _dft_basis(n_fft, win_length)
+    dtype = frames.dtype
+    # HIGHEST precision: the spectrogram front-end feeds the posterior and
+    # the mel loss; TPU default (bf16) matmul precision is not enough there.
+    real = jnp.matmul(frames, jnp.asarray(cos_b, dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+    imag = jnp.matmul(frames, jnp.asarray(sin_b, dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.swapaxes(real, 1, 2), jnp.swapaxes(imag, 1, 2)
+
+
+def stft_magnitude(
+    y: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+    pad_mode: str = "reflect",
+    eps: float = 0.0,
+) -> jnp.ndarray:
+    """|STFT| [B, n_bins, F]; eps>0 clamps power like `stft_loss.py:28`."""
+    real, imag = stft(y, n_fft, hop_length, win_length, center, pad_mode)
+    power = real * real + imag * imag
+    if eps:
+        power = jnp.maximum(power, eps)
+    return jnp.sqrt(power)
+
+
+def spectrogram(
+    y: jnp.ndarray, n_fft: int, hop_length: int, win_length: int
+) -> jnp.ndarray:
+    """Linear magnitude spectrogram with the reference front-end padding:
+    constant-pad (n_fft-hop)/2 both sides then center=False STFT
+    (reference `mel_processing.py:51-70`). y [B, T] in [-1, 1]."""
+    if y.ndim == 1:
+        y = y[None]
+    p = (n_fft - hop_length) // 2
+    y = jnp.pad(y, ((0, 0), (p, p)))
+    return stft_magnitude(y, n_fft, hop_length, win_length, center=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _ola_envelope(
+    n_fft: int, hop: int, win_length: int, num_frames: int
+) -> np.ndarray:
+    """Window sum-square envelope for iSTFT normalization
+    (torch.istft / reference `stft.py:35-76` semantics)."""
+    win_sq = _padded_window(win_length, n_fft).astype(np.float64) ** 2
+    total = n_fft + hop * (num_frames - 1)
+    env = np.zeros(total)
+    for i in range(num_frames):
+        s = i * hop
+        env[s : s + n_fft] += win_sq
+    return env
+
+
+def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """OLA: frames [B, F, n_fft] -> [B, (F-1)*hop + n_fft].
+
+    When hop | n_fft this is r=n_fft/hop shifted adds over a [B, F+r-1, hop]
+    accumulator (pure static slices, XLA-fusable); otherwise a scatter-add.
+    """
+    b, f, n_fft = frames.shape
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        chunks = frames.reshape(b, f, r, hop)
+        out = jnp.zeros((b, f + r - 1, hop), frames.dtype)
+        for j in range(r):
+            out = out.at[:, j : j + f].add(chunks[:, :, j])
+        return out.reshape(b, (f + r - 1) * hop)
+    total = (f - 1) * hop + n_fft
+    idx = np.arange(f)[:, None] * hop + np.arange(n_fft)[None, :]
+    out = jnp.zeros((b, total), frames.dtype)
+    return out.at[:, jnp.asarray(idx.reshape(-1))].add(
+        frames.reshape(b, -1)
+    )
+
+
+def istft(
+    magnitude: jnp.ndarray,
+    phase: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Inverse STFT of mag*e^{i*phase}, matching torch.istft as used by
+    `TorchSTFT.inverse` (reference `stft.py:197-202`).
+
+    magnitude, phase: [B, n_bins, F]. Returns [B, (F-1)*hop] for center=True.
+    """
+    b, n_bins, f = magnitude.shape
+    assert n_bins == n_fft // 2 + 1, (n_bins, n_fft)
+    real = magnitude * jnp.cos(phase)
+    imag = magnitude * jnp.sin(phase)
+    br, bi = _idft_basis(n_fft)
+    dtype = magnitude.dtype
+    # [B, F, n_bins] @ [n_bins, n_fft] -> per-frame time signal
+    frames = jnp.matmul(
+        jnp.swapaxes(real, 1, 2), jnp.asarray(br, dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jnp.matmul(
+        jnp.swapaxes(imag, 1, 2), jnp.asarray(bi, dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    win = jnp.asarray(_padded_window(win_length, n_fft), dtype)
+    frames = frames * win
+    sig = overlap_add(frames, hop_length)
+    env = _ola_envelope(n_fft, hop_length, win_length, f)
+    tiny = np.finfo(np.float32).tiny
+    env = np.where(env > tiny, env, 1.0)
+    sig = sig / jnp.asarray(env, dtype)
+    if center:
+        p = n_fft // 2
+        sig = sig[:, p : sig.shape[1] - p]
+    return sig
+
+
+class TorchSTFT:
+    """Functional stand-in for the reference `TorchSTFT` (`stft.py:181-207`):
+    transform -> (mag, phase), inverse(mag, phase) -> [B, 1, T] waveform."""
+
+    def __init__(self, filter_length: int = 800, hop_length: int = 200,
+                 win_length: int = 800):
+        self.filter_length = filter_length
+        self.hop_length = hop_length
+        self.win_length = win_length
+
+    def transform(self, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        real, imag = stft(y, self.filter_length, self.hop_length,
+                          self.win_length, center=True)
+        mag = jnp.sqrt(real * real + imag * imag)
+        phase = jnp.arctan2(imag, real)
+        return mag, phase
+
+    def inverse(self, magnitude: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+        wav = istft(magnitude, phase, self.filter_length, self.hop_length,
+                    self.win_length, center=True)
+        # keep the reference's [B, 1, T] convention (stft.py:202)
+        return wav[:, None, :]

@@ -1,0 +1,26 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding
+logic is testable without a TPU pod (SURVEY.md §4).
+
+Note: the axon harness pins JAX_PLATFORMS, so we must use jax.config.update
+(env var alone is ignored).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1234)
