@@ -1,0 +1,109 @@
+"""MAS and segment-op tests against the reference DP transcribed in numpy."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mb_istft_vits_tpu.ops import (
+    generate_path,
+    maximum_path,
+    rand_slice_segments,
+    sequence_mask,
+    slice_segments,
+)
+from mb_istft_vits_tpu.ops.mas import maximum_path_numpy
+
+
+def _random_mas_problem(rng, b=4, t_y=37, t_x=19):
+    neg_cent = rng.randn(b, t_y, t_x).astype(np.float32)
+    t_ys = rng.randint(t_x + 2, t_y + 1, size=b)
+    t_xs = rng.randint(3, t_x + 1, size=b)
+    t_ys = np.maximum(t_ys, t_xs)  # need t_y >= t_x for a valid path
+    mask = (
+        (np.arange(t_y)[None, :, None] < t_ys[:, None, None])
+        & (np.arange(t_x)[None, None, :] < t_xs[:, None, None])
+    ).astype(np.float32)
+    return neg_cent, mask
+
+
+def test_maximum_path_matches_reference_dp(rng):
+    neg_cent, mask = _random_mas_problem(rng)
+    ours = np.asarray(maximum_path(jnp.asarray(neg_cent), jnp.asarray(mask)))
+    oracle = maximum_path_numpy(neg_cent, mask)
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_maximum_path_under_jit(rng):
+    neg_cent, mask = _random_mas_problem(rng, b=2, t_y=25, t_x=11)
+    f = jax.jit(maximum_path)
+    ours = np.asarray(f(jnp.asarray(neg_cent), jnp.asarray(mask)))
+    oracle = maximum_path_numpy(neg_cent, mask)
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_maximum_path_properties(rng):
+    """Each valid frame maps to exactly one token; path is monotone."""
+    neg_cent, mask = _random_mas_problem(rng, b=3)
+    path = np.asarray(maximum_path(jnp.asarray(neg_cent), jnp.asarray(mask)))
+    t_ys = mask.sum(axis=1)[:, 0].astype(int)
+    t_xs = mask.sum(axis=2)[:, 0].astype(int)
+    for i in range(path.shape[0]):
+        p = path[i, : t_ys[i], : t_xs[i]]
+        assert np.all(p.sum(axis=1) == 1)
+        tok = p.argmax(axis=1)
+        assert np.all(np.diff(tok) >= 0)
+        assert np.all(np.diff(tok) <= 1)
+        assert tok[0] == 0 and tok[-1] == t_xs[i] - 1
+        assert path[i, t_ys[i] :, :].sum() == 0
+        assert path[i, :, t_xs[i] :].sum() == 0
+
+
+def test_generate_path_matches_torch(rng):
+    """vs reference commons.generate_path run in torch."""
+    b, t_x, t_y = 3, 7, 30
+    dur = rng.randint(1, 5, size=(b, t_x)).astype(np.float32)
+    t_ys = dur.sum(axis=1).astype(int)
+    mask = (
+        (np.arange(t_y)[None, :, None] < t_ys[:, None, None])
+        & np.ones((1, 1, t_x), bool)
+    ).astype(np.float32)
+
+    ours = np.asarray(generate_path(jnp.asarray(dur), jnp.asarray(mask)))
+
+    # torch transcription of commons.py:128-143
+    dt = torch.from_numpy(dur).unsqueeze(1)  # [b,1,t_x]
+    mt = torch.from_numpy(mask).unsqueeze(1)  # [b,1,t_y,t_x]
+    cum = torch.cumsum(dt, -1).view(b * t_x)
+    path = (
+        torch.arange(t_y)[None, :] < cum[:, None]
+    ).float().view(b, t_x, t_y)
+    path = path - torch.nn.functional.pad(path, (0, 0, 1, 0))[:, :-1]
+    ref = (path.unsqueeze(1).transpose(2, 3) * mt)[:, 0].numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_slice_segments(rng):
+    x = rng.randn(4, 50, 3).astype(np.float32)
+    ids = np.array([0, 5, 10, 46 - 8])
+    seg = np.asarray(slice_segments(jnp.asarray(x), jnp.asarray(ids), 8))
+    for i in range(4):
+        np.testing.assert_array_equal(seg[i], x[i, ids[i] : ids[i] + 8])
+
+
+def test_rand_slice_segments_in_bounds(rng):
+    x = rng.randn(4, 50, 3).astype(np.float32)
+    lengths = jnp.asarray([50, 40, 33, 20])
+    seg, ids = rand_slice_segments(
+        jnp.asarray(x), jax.random.PRNGKey(0), lengths, segment_size=16
+    )
+    assert seg.shape == (4, 16, 3)
+    ids = np.asarray(ids)
+    assert np.all(ids >= 0) and np.all(ids + 16 <= np.asarray(lengths) + 16)
+
+
+def test_sequence_mask():
+    m = np.asarray(sequence_mask(jnp.asarray([1, 3, 5]), 5))
+    assert m.sum() == 9
+    assert m[0, 0] and not m[0, 1] and m[2, 4]
