@@ -1,0 +1,8 @@
+"""Host-side data pipeline: filelist datasets, spectrogram cache,
+length-bucketed static-shape batching."""
+
+from mb_istft_vits_tpu.data.dataset import (  # noqa: F401
+    BucketedBatcher,
+    TextAudioDataset,
+    load_filepaths_and_text,
+)

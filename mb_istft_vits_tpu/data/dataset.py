@@ -1,0 +1,247 @@
+"""Dataset + bucketed batcher.
+
+Behavior contract: reference `data_utils.py` —
+  - filelist rows `path|text` (single speaker) or `path|sid|text`
+    (TextAudioLoader / TextAudioSpeakerLoader, data_utils.py:15,159)
+  - text length filter [min_text_len, max_text_len] (data_utils.py:39-40)
+  - wav → linear spectrogram with a disk cache next to the wav
+    (data_utils.py:78-86; `.spec.npy` here instead of `.spec.pt`)
+  - optional blank interspersal (data_utils.py:89-98)
+  - length-bucketed, epoch-seeded, rank-strided batching
+    (DistributedBucketSampler, data_utils.py:308-404)
+
+TPU-first change: batches are padded to *static* shapes — text to a fixed
+cap, spec frames to the bucket's upper boundary — so XLA compiles one train
+program per bucket instead of one per shape (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mb_istft_vits_tpu.config import DataConfig
+from mb_istft_vits_tpu.text import (
+    cleaned_text_to_sequence,
+    get_module,
+    intersperse,
+    text_to_sequence,
+)
+
+
+def load_filepaths_and_text(filename: str, split: str = "|") -> List[List[str]]:
+    """reference utils.py:144-147"""
+    with open(filename, encoding="utf-8") as f:
+        return [line.strip().split(split) for line in f]
+
+
+def load_wav(full_path: str) -> Tuple[np.ndarray, int]:
+    """reference utils.load_wav_to_torch (utils.py:139-141)."""
+    from scipy.io.wavfile import read
+
+    sampling_rate, data = read(full_path)
+    return data.astype(np.float32), sampling_rate
+
+
+class TextAudioDataset:
+    """Loads (text_ids, spec, wav[, sid]) tuples."""
+
+    def __init__(self, filelist: str, cfg: DataConfig, seed: int = 1234):
+        self.cfg = cfg
+        self.multi_speaker = cfg.n_speakers > 0
+        rows = load_filepaths_and_text(filelist)
+        rng = np.random.RandomState(seed)
+        rng.shuffle(rows)
+        self.rows: List[List[str]] = []
+        self.lengths: List[int] = []
+        for row in rows:
+            text = row[2] if self.multi_speaker else row[1]
+            if cfg.min_text_len <= len(text) <= cfg.max_text_len:
+                self.rows.append(row)
+                # spec-frame estimate from file size (data_utils.py:60)
+                try:
+                    n = os.path.getsize(row[0]) // (2 * cfg.hop_length)
+                except OSError:
+                    n = 0
+                self.lengths.append(n)
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def get_text(self, text: str) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.cleaned_text:
+            ids = cleaned_text_to_sequence(text, cfg.text_module)
+        else:
+            ids = text_to_sequence(text, cfg.text_cleaners, cfg.text_module)
+        if cfg.add_blank:
+            ids = intersperse(ids, 0)
+        return np.asarray(ids, np.int32)
+
+    def get_audio(self, filename: str) -> Tuple[np.ndarray, np.ndarray]:
+        cfg = self.cfg
+        audio, sr = load_wav(filename)
+        if sr != cfg.sampling_rate:
+            raise ValueError(f"{sr} SR doesn't match target "
+                             f"{cfg.sampling_rate} SR ({filename})")
+        audio_norm = audio / cfg.max_wav_value
+        spec_filename = filename.replace(".wav", ".spec.npy")
+        if os.path.exists(spec_filename):
+            spec = np.load(spec_filename)
+        else:
+            import jax.numpy as jnp
+
+            from mb_istft_vits_tpu.dsp import spectrogram
+
+            spec = np.asarray(
+                spectrogram(
+                    jnp.asarray(audio_norm[None, :]), cfg.filter_length,
+                    cfg.hop_length, cfg.win_length,
+                )[0]
+            ).T  # [F, bins]
+            try:
+                np.save(spec_filename, spec)
+            except OSError:
+                pass
+        return spec.astype(np.float32), audio_norm.astype(np.float32)
+
+    def __getitem__(self, index: int):
+        row = self.rows[index]
+        if self.multi_speaker:
+            path, sid, text = row[0], row[1], row[2]
+        else:
+            path, text = row[0], row[1]
+            sid = None
+        ids = self.get_text(text)
+        spec, wav = self.get_audio(path)
+        item = {"x": ids, "spec": spec, "wav": wav}
+        if sid is not None:
+            item["sid"] = int(sid)
+        return item
+
+
+class BucketedBatcher:
+    """Static-shape, length-bucketed, epoch-seeded, rank-strided batches
+    (replaces DistributedBucketSampler, data_utils.py:308-404)."""
+
+    def __init__(
+        self,
+        dataset: TextAudioDataset,
+        batch_size: int,
+        boundaries: Sequence[int] = (32, 300, 400, 500, 600, 700, 800, 900,
+                                     1000),
+        num_replicas: int = 1,
+        rank: int = 0,
+        shuffle: bool = True,
+        max_text_frames: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.boundaries = list(boundaries)
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        cfg = dataset.cfg
+        cap = cfg.max_text_len * (2 if cfg.add_blank else 1) + 1
+        self.text_cap = max_text_frames or cap
+
+        self.buckets: List[List[int]] = [
+            [] for _ in range(len(self.boundaries) - 1)
+        ]
+        for i, length in enumerate(dataset.lengths):
+            b = self._bisect(length)
+            if b != -1:
+                self.buckets[b].append(i)
+        # drop empty buckets (data_utils.py:335-338)
+        for i in range(len(self.buckets) - 1, 0, -1):
+            if len(self.buckets[i]) == 0:
+                self.buckets.pop(i)
+                self.boundaries.pop(i + 1)
+
+    def _bisect(self, x: int) -> int:
+        for i in range(len(self.boundaries) - 1):
+            if self.boundaries[i] < x <= self.boundaries[i + 1]:
+                return i
+        return -1
+
+    def __len__(self) -> int:
+        total = 0
+        tb = self.num_replicas * self.batch_size
+        for bucket in self.buckets:
+            n = len(bucket)
+            n_pad = n + (tb - n % tb) % tb
+            total += n_pad // tb
+        return total
+
+    def epoch_batches(self, epoch: int) -> List[Tuple[int, List[int]]]:
+        """List of (bucket_idx, sample indices) for this rank."""
+        g = np.random.RandomState(epoch)
+        batches = []
+        for bi, bucket in enumerate(self.buckets):
+            ids = list(range(len(bucket)))
+            if self.shuffle:
+                g.shuffle(ids)
+            tb = self.num_replicas * self.batch_size
+            rem = (tb - len(ids) % tb) % tb
+            if rem and len(ids):
+                ids = ids + (ids * (rem // len(ids)))[: max(0, rem - rem %
+                                                            len(ids))] \
+                    + ids[: rem % len(ids)]
+            ids = ids[self.rank :: self.num_replicas]
+            for j in range(len(ids) // self.batch_size):
+                chunk = ids[j * self.batch_size : (j + 1) * self.batch_size]
+                batches.append((bi, [bucket[k] for k in chunk]))
+        if self.shuffle:
+            order = g.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return batches
+
+    def pad_shape(self, bucket_idx: int) -> Tuple[int, int]:
+        """(max text len, max spec frames) — static per bucket."""
+        return self.text_cap, self.boundaries[bucket_idx + 1]
+
+    def make_batch(self, bucket_idx: int,
+                   indices: List[int]) -> Dict[str, np.ndarray]:
+        cfg = self.dataset.cfg
+        t_x, t_spec = self.pad_shape(bucket_idx)
+        t_wav = t_spec * cfg.hop_length
+        b = len(indices)
+        n_bins = cfg.filter_length // 2 + 1
+
+        x = np.zeros((b, t_x), np.int32)
+        x_lengths = np.zeros((b,), np.int32)
+        spec = np.zeros((b, t_spec, n_bins), np.float32)
+        spec_lengths = np.zeros((b,), np.int32)
+        wav = np.zeros((b, t_wav, 1), np.float32)
+        wav_lengths = np.zeros((b,), np.int32)
+        sid = np.zeros((b,), np.int32)
+
+        for i, idx in enumerate(indices):
+            item = self.dataset[idx]
+            ids, sp, wv = item["x"], item["spec"], item["wav"]
+            lx = min(len(ids), t_x)
+            ls = min(sp.shape[0], t_spec)
+            lw = min(len(wv), t_wav)
+            x[i, :lx] = ids[:lx]
+            x_lengths[i] = lx
+            spec[i, :ls] = sp[:ls]
+            spec_lengths[i] = ls
+            wav[i, :lw, 0] = wv[:lw]
+            wav_lengths[i] = lw
+            if "sid" in item:
+                sid[i] = item["sid"]
+
+        batch = {
+            "x": x, "x_lengths": x_lengths,
+            "spec": spec, "spec_lengths": spec_lengths,
+            "wav": wav, "wav_lengths": wav_lengths,
+        }
+        if self.dataset.multi_speaker:
+            batch["sid"] = sid
+        return batch
+
+    def iter_epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        for bucket_idx, indices in self.epoch_batches(epoch):
+            yield self.make_batch(bucket_idx, indices)

@@ -1,0 +1,51 @@
+"""Device mesh and sharding helpers.
+
+TPU-native replacement for the reference's NCCL DDP
+(train_latest.py:49-51,67,113-114): a single jax.sharding.Mesh over all
+chips, batch dimension sharded over the 'data' axis, parameters replicated.
+XLA SPMD inserts the gradient all-reduce over ICI automatically — there is
+no explicit collective in user code, matching how DDP's backward hook
+all-reduce becomes an XLA `psum`.
+
+Multi-host: call jax.distributed.initialize() before create_mesh(); each
+process feeds its local shard of the global batch
+(jax.make_array_from_process_local_data).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: Optional[int] = None,
+                axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over all (or the first N) devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Place a host batch onto the mesh, batch-dim sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        if x is None:
+            return None
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)

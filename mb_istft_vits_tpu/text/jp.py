@@ -1,0 +1,153 @@
+"""Japanese frontend: katakana-mora → space-separated phoneme tokens.
+
+Behavior contract: reference `text_JP/` — mora tables
+(`phonemize.py:138-271`), symbol set derived from the tables + 'sp' + long
+vowels (`symbols.py:47-60`), token-level (space-split) ID mapping
+(`__init__.py:22,35`), pyopenjtalk g2p cleaner with placeholder handling
+(`cleaners_v2.py:5-34`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence
+
+# two-char moras (reference phonemize.py:139-190; symbols.py table2_jpn)
+TABLE2 = {
+    "キャ": "ky a", "キュ": "ky u", "キョ": "ky o",
+    "ギャ": "gy a", "ギュ": "gy u", "ギョ": "gy o",
+    "シャ": "sy a", "シュ": "sy u", "シェ": "sy e", "ショ": "sy o",
+    "ジャ": "zy a", "ジュ": "zy u", "ジェ": "zy e", "ジョ": "zy o",
+    "チャ": "ch a", "チュ": "ch u", "チェ": "ch e", "チョ": "ch o",
+    "ニャ": "ny a", "ニュ": "ny u", "ニョ": "ny o",
+    "ヒャ": "hy a", "ヒュ": "hy u", "ヒョ": "hy o",
+    "ピャ": "py a", "ピュ": "py u", "ピョ": "py o",
+    "ビャ": "by a", "ビュ": "by u", "ビョ": "by o",
+    "ミャ": "my a", "ミュ": "my u", "ミョ": "my o",
+    "リャ": "ry a", "リュ": "ry u", "リョ": "ry o",
+    "ティ": "t i", "ディ": "d i",
+    "トゥ": "t u", "ドゥ": "d u",
+    "ツァ": "ts a", "ツェ": "ts e", "ツォ": "ts o",
+    "スィ": "s i", "ズィ": "z i",
+    "ファ": "f a", "フィ": "f i", "フェ": "f e", "フォ": "f o",
+    "ウィ": "w i", "ウェ": "w e",
+}
+
+# single-char moras (reference phonemize.py:191-262; symbols.py table_jpn,
+# which additionally has ヲ→o)
+TABLE = {
+    "ア": "a", "イ": "i", "ウ": "u", "エ": "e", "オ": "o",
+    "カ": "k a", "キ": "k i", "ク": "k u", "ケ": "k e", "コ": "k o",
+    "ガ": "g a", "ギ": "g i", "グ": "g u", "ゲ": "g e", "ゴ": "g o",
+    "サ": "s a", "シ": "s i", "ス": "s u", "セ": "s e", "ソ": "s o",
+    "ザ": "z a", "ジ": "z i", "ズ": "z u", "ゼ": "z e", "ゾ": "z o",
+    "タ": "t a", "チ": "t i", "ツ": "t u", "テ": "t e", "ト": "t o",
+    "ダ": "d a", "ヂ": "z i", "ヅ": "z u", "デ": "d e", "ド": "d o",
+    "ナ": "n a", "ニ": "n i", "ヌ": "n u", "ネ": "n e", "ノ": "n o",
+    "ハ": "h a", "ヒ": "h i", "フ": "h u", "ヘ": "h e", "ホ": "h o",
+    "パ": "p a", "ピ": "p i", "プ": "p u", "ペ": "p e", "ポ": "p o",
+    "バ": "b a", "ビ": "b i", "ブ": "b u", "ベ": "b e", "ボ": "b o",
+    "マ": "m a", "ミ": "m i", "ム": "m u", "メ": "m e", "モ": "m o",
+    "ヤ": "y a", "ユ": "y u", "ヨ": "y o",
+    "ラ": "r a", "リ": "r i", "ル": "r u", "レ": "r e", "ロ": "r o",
+    "ワ": "w a", "ン": "N", "ッ": "Q", "＃": "#", "ヲ": "o",
+}
+
+# symbol set (reference text_JP/symbols.py:1-62)
+_pad = "_"
+_punctuation = ';:,.!?¡¿—…«»“” []'
+_phoneme_set = set()
+for v in TABLE.values():
+    _phoneme_set.update(v.split(" "))
+for v in TABLE2.values():
+    _phoneme_set.update(v.split(" "))
+_phoneme_set.add("sp")
+_phoneme_set.update(["a:", "i:", "u:", "e:", "o:"])
+
+symbols: List[str] = [_pad] + list(_punctuation) + sorted(_phoneme_set)
+SPACE_ID = symbols.index(" ")
+
+_symbol_to_id = {s: i for i, s in enumerate(symbols)}
+_id_to_symbol = {i: s for i, s in enumerate(symbols)}
+
+
+def mora2phoneme(text: str) -> str:
+    """Katakana mora string → phoneme token string
+    (reference phonemize.py:138-271)."""
+    text = text.replace(" ", "sp")
+    for m, p in TABLE2.items():
+        text = text.replace(m, p + " ")
+    for m, p in TABLE.items():
+        text = text.replace(m, p + " ")
+    text = text.rstrip()
+    text = text.replace(" ー", ": ")
+    return text
+
+
+class Phonemizer:
+    """reference phonemize.py:273-279"""
+
+    def __call__(self, text: str) -> str:
+        return mora2phoneme(text)
+
+
+def japanese_cleaners(text: str) -> str:
+    """reference text_JP/cleaners.py:5-6"""
+    return mora2phoneme(text)
+
+
+def openjtalk_cleaner(text: str) -> str:
+    """pyopenjtalk g2p with <cough>/bracket placeholders
+    (reference text_JP/cleaners_v2.py:5-34). Needs optional pyopenjtalk."""
+    try:
+        import pyopenjtalk  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "openjtalk_cleaner needs the optional 'pyopenjtalk' package."
+        ) from e
+    replacements = {
+        "<cough>": "__COUGH__",
+        "{cough}": "__COUGH__",
+        "[": "__LBRACKET__",
+        "]": "__RBRACKET__",
+    }
+    for old, new in replacements.items():
+        text = text.replace(old, new)
+    phonemes = pyopenjtalk.g2p(text)
+    phonemes = phonemes.replace("pau", "sp")
+    phonemes = phonemes.replace("__COUGH__", " <cough> ")
+    phonemes = phonemes.replace("__LBRACKET__", " [ ")
+    phonemes = phonemes.replace("__RBRACKET__", " ] ")
+    return " ".join(phonemes.split())
+
+
+_CLEANERS = {
+    "japanese_cleaners": japanese_cleaners,
+    "openjtalk_cleaner": openjtalk_cleaner,
+}
+
+
+def _clean_text(text: str, cleaner_names: Sequence[str]) -> str:
+    for name in cleaner_names:
+        text = _CLEANERS[name](text)
+    return text
+
+
+def text_to_sequence(text: str, cleaner_names: Sequence[str]) -> List[int]:
+    """Token-level (space-split) mapping (reference text_JP/__init__.py:10-25)."""
+    clean_text = _clean_text(text, cleaner_names)
+    return [
+        _symbol_to_id[s] for s in clean_text.split(" ") if s in _symbol_to_id
+    ]
+
+
+def cleaned_text_to_sequence(cleaned_text: str) -> List[int]:
+    return [
+        _symbol_to_id[s]
+        for s in cleaned_text.split(" ")
+        if s in _symbol_to_id
+    ]
+
+
+def sequence_to_text(sequence: Sequence[int]) -> str:
+    return "".join(_id_to_symbol[i] for i in sequence)

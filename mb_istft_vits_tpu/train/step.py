@@ -1,0 +1,245 @@
+"""The pjit-able GAN train step.
+
+Behavior contract: the hot loop of reference `train_latest.py:152-266` —
+  1. generator forward (one reparameterized posterior sample, MAS alignment,
+     random 32-frame decode slice)
+  2. discriminator step on (real, stop_grad(fake)) with LSGAN loss, AdamW,
+     no grad clipping (clip_grad_value_(net_d, None) is a no-op clip)
+  3. generator step against the *updated* discriminator:
+     gen + fm + mel·c_mel + dur + kl·c_kl (+ sub-band MR-STFT for MB),
+     grads value-clipped at 1.0, AdamW
+  4. ExponentialLR decay per epoch (gamma^epoch)
+
+Everything lives in ONE jitted function; batch dim is sharded over the
+'data' mesh axis and XLA SPMD inserts the gradient all-reduces over ICI
+(replacing DDP backward hooks). The duplicated generator forward (once for
+the D step, once under the G grad) is structurally identical with the same
+rng bits, so XLA CSE folds it — matching torch's retain-graph schedule at
+the same cost.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from mb_istft_vits_tpu.config import Config
+from mb_istft_vits_tpu.dsp.mel import mel_spectrogram, spec_to_mel
+from mb_istft_vits_tpu.losses import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+    kl_loss,
+    subband_stft_loss,
+)
+from mb_istft_vits_tpu.models import MultiPeriodDiscriminator, Synthesizer
+from mb_istft_vits_tpu.ops import slice_segments
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params_g: Any
+    params_d: Any
+    opt_state_g: Any
+    opt_state_d: Any
+    rng: jax.Array
+
+
+def make_lr_schedule(cfg: Config):
+    """lr0 * lr_decay^epoch, stepped per epoch like the reference
+    ExponentialLR (train_latest.py:124-125,134-135)."""
+    spe = max(cfg.train.steps_per_epoch, 1)
+
+    def schedule(step):
+        epoch = step // spe
+        return cfg.train.learning_rate * cfg.train.lr_decay ** epoch
+
+    return schedule
+
+
+def make_optimizers(cfg: Config):
+    lr = make_lr_schedule(cfg)
+    b1, b2 = cfg.train.betas
+    # torch.optim.AdamW defaults: weight_decay=0.01 (train_latest.py:103-112)
+    tx_g = optax.chain(
+        optax.clip(cfg.train.grad_clip_value),  # value clip, commons.py:146-161
+        optax.adamw(lr, b1=b1, b2=b2, eps=cfg.train.eps, weight_decay=0.01),
+    )
+    tx_d = optax.adamw(lr, b1=b1, b2=b2, eps=cfg.train.eps, weight_decay=0.01)
+    return tx_g, tx_d
+
+
+def create_train_state(
+    cfg: Config,
+    rng: jax.Array,
+    batch: Dict[str, jnp.ndarray],
+) -> Tuple[TrainState, Synthesizer, MultiPeriodDiscriminator]:
+    synth = Synthesizer(cfg.model)
+    disc = MultiPeriodDiscriminator()
+
+    k_params, k_noise, k_drop, k_slice, k_dparams, k_state = jax.random.split(
+        rng, 6
+    )
+    g_vars = synth.init(
+        {"params": k_params, "noise": k_noise, "dropout": k_drop,
+         "slice": k_slice},
+        batch["x"], batch["x_lengths"], batch["spec"], batch["spec_lengths"],
+        sid=batch.get("sid"), train=False,
+    )
+    seg = cfg.train.segment_size
+    d_vars = disc.init(
+        k_dparams,
+        jnp.zeros((1, seg, 1)), jnp.zeros((1, seg, 1)),
+    )
+    tx_g, tx_d = make_optimizers(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=g_vars["params"],
+        params_d=d_vars["params"],
+        opt_state_g=tx_g.init(g_vars["params"]),
+        opt_state_d=tx_d.init(d_vars["params"]),
+        rng=k_state,
+    )
+    return state, synth, disc
+
+
+def _global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in leaves))
+
+
+def make_train_step(cfg: Config, synth: Synthesizer,
+                    disc: MultiPeriodDiscriminator):
+    """Returns train_step(state, batch) -> (state, metrics), to be wrapped
+    in jax.jit with sharded inputs."""
+    d = cfg.data
+    t = cfg.train
+    seg_frames = t.segment_size // d.hop_length
+    tx_g, tx_d = make_optimizers(cfg)
+    is_mb = cfg.model.mb_istft_vits
+
+    def g_forward(params_g, batch, rngs):
+        return synth.apply(
+            {"params": params_g},
+            batch["x"], batch["x_lengths"], batch["spec"],
+            batch["spec_lengths"], sid=batch.get("sid"), train=True,
+            rngs=rngs,
+        )
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        k_noise, k_drop, k_slice = jax.random.split(step_rng, 3)
+        rngs = {"noise": k_noise, "dropout": k_drop, "slice": k_slice}
+
+        # ---- generator forward (for the D step) -----------------------
+        (y_hat, y_hat_mb, l_length, attn, ids_slice, x_mask, z_mask,
+         latents) = g_forward(state.params_g, batch, rngs)
+        z, z_p, m_p, logs_p, m_q, logs_q = latents
+
+        # ground-truth slices (train_latest.py:167-186)
+        mel = spec_to_mel(
+            jnp.swapaxes(batch["spec"], 1, 2), d.filter_length,
+            d.n_mel_channels, d.sampling_rate, d.mel_fmin, d.mel_fmax,
+        )  # [B, n_mels, F]
+        y_mel = slice_segments(
+            jnp.swapaxes(mel, 1, 2), ids_slice, seg_frames
+        )  # [B, seg_frames, n_mels]
+        y = slice_segments(
+            batch["wav"], ids_slice * d.hop_length, t.segment_size
+        )  # [B, seg, 1]
+
+        # ---- discriminator update (train_latest.py:189-197) -----------
+        y_hat_sg = jax.lax.stop_gradient(y_hat)
+
+        def d_loss_fn(params_d):
+            y_d_r, y_d_g, _, _ = disc.apply({"params": params_d}, y, y_hat_sg)
+            loss_disc, r_losses, g_losses = discriminator_loss(y_d_r, y_d_g)
+            return loss_disc, (r_losses, g_losses)
+
+        (loss_disc, _), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.params_d)
+        grad_norm_d = _global_norm(d_grads)
+        d_updates, new_opt_d = tx_d.update(
+            d_grads, state.opt_state_d, state.params_d
+        )
+        new_params_d = optax.apply_updates(state.params_d, d_updates)
+
+        # ---- generator update vs updated D (train_latest.py:202-227) --
+        def g_loss_fn(params_g):
+            (y_hat, y_hat_mb, l_length, attn, ids_slice2, x_mask, z_mask,
+             latents) = g_forward(params_g, batch, rngs)
+            z, z_p, m_p, logs_p, m_q, logs_q = latents
+            y_hat_mel = mel_spectrogram(
+                y_hat[..., 0].astype(jnp.float32), d.filter_length,
+                d.n_mel_channels, d.sampling_rate, d.hop_length,
+                d.win_length, d.mel_fmin, d.mel_fmax,
+            )  # [B, n_mels, seg_frames]
+            y_d_r, y_d_g, fmap_r, fmap_g = disc.apply(
+                {"params": new_params_d}, y, y_hat
+            )
+            loss_dur = jnp.sum(l_length.astype(jnp.float32))
+            loss_mel = (
+                jnp.mean(jnp.abs(jnp.swapaxes(y_mel, 1, 2) - y_hat_mel))
+                * t.c_mel
+            )
+            loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, z_mask) * t.c_kl
+            loss_fm = feature_loss(fmap_r, fmap_g)
+            loss_gen, _ = generator_loss(y_d_g)
+            if is_mb:
+                from mb_istft_vits_tpu.dsp.pqmf import PQMFBank
+
+                pqmf = PQMFBank(subbands=cfg.model.subbands)
+                y_mb = pqmf.analysis(y.astype(jnp.float32))
+                loss_subband = subband_stft_loss(
+                    y_mb, y_hat_mb, t.fft_sizes, t.hop_sizes, t.win_lengths
+                )
+            else:
+                loss_subband = jnp.asarray(0.0)
+            total = (loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
+                     + loss_subband)
+            return total, {
+                "loss/g/total": total,
+                "loss/g/gen": loss_gen,
+                "loss/g/fm": loss_fm,
+                "loss/g/mel": loss_mel,
+                "loss/g/dur": loss_dur,
+                "loss/g/kl": loss_kl,
+                "loss/g/subband": loss_subband,
+            }
+
+        (loss_gen_all, g_metrics), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.params_g)
+        grad_norm_g = _global_norm(g_grads)
+        g_updates, new_opt_g = tx_g.update(
+            g_grads, state.opt_state_g, state.params_g
+        )
+        new_params_g = optax.apply_updates(state.params_g, g_updates)
+
+        lr = make_lr_schedule(cfg)(state.step)
+        metrics = dict(g_metrics)
+        metrics.update({
+            "loss/d/total": loss_disc,
+            "grad_norm_d": grad_norm_d,
+            "grad_norm_g": grad_norm_g,
+            "learning_rate": lr,
+        })
+        new_state = TrainState(
+            step=state.step + 1,
+            params_g=new_params_g,
+            params_d=new_params_d,
+            opt_state_g=new_opt_g,
+            opt_state_d=new_opt_d,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    return train_step

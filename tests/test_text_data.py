@@ -1,0 +1,147 @@
+"""Text frontend and data pipeline tests (host-side, parity with the
+reference filelists)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mb_istft_vits_tpu.config import DataConfig
+from mb_istft_vits_tpu.data import BucketedBatcher, TextAudioDataset
+from mb_istft_vits_tpu.text import (
+    cleaned_text_to_sequence,
+    get_symbols,
+    intersperse,
+    text_to_sequence,
+)
+from mb_istft_vits_tpu.text import en as text_en
+from mb_istft_vits_tpu.text import jp as text_jp
+
+
+def test_en_symbols_match_reference():
+    import importlib.util, sys
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_en_symbols", "/root/reference/text/symbols.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert text_en.symbols == mod.symbols
+
+
+def test_jp_symbols_match_reference():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_jp_symbols", "/root/reference/text_JP/symbols.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert text_jp.symbols == mod.symbols
+
+
+def test_jp_mora2phoneme():
+    # katakana + long vowel + sokuon/hatsuon
+    out = text_jp.mora2phoneme("キョート")
+    assert out == "ky o: t o"
+    # trailing space is reference behavior (rstrip precedes the long-vowel
+    # substitution, phonemize.py:268-269); token split drops it
+    out2 = text_jp.mora2phoneme("トーキョー")
+    assert out2.split() == ["t", "o:", "ky", "o:"]
+    out3 = text_jp.mora2phoneme("ニッポン")
+    assert out3 == "n i Q p o N"
+
+
+def test_jp_cleaned_text_roundtrip():
+    seq = cleaned_text_to_sequence("k o N n i t i w a", "text_JP")
+    assert len(seq) == 9
+    assert all(s > 0 for s in seq)
+
+
+def test_en_cleaned_text():
+    seq = cleaned_text_to_sequence("h@lo wurld", "text")
+    # '@' not in symbol set -> skipped
+    assert len(seq) == len("hlo wurld")
+
+
+def test_en_basic_cleaners():
+    seq = text_to_sequence("Hello,   World!", ["basic_cleaners"], "text")
+    sym = get_symbols("text")
+    text = "".join(sym[i] for i in seq)
+    assert text == "hello, world!"
+
+
+def test_intersperse():
+    assert intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
+
+
+@pytest.fixture
+def wav_dataset(tmp_path, rng):
+    """Tiny on-disk dataset with real wav files."""
+    from scipy.io.wavfile import write
+
+    paths = []
+    for i, n in enumerate([4000, 9000, 14000]):
+        wav = (rng.uniform(-0.3, 0.3, n) * 32767).astype(np.int16)
+        p = tmp_path / f"utt{i}.wav"
+        write(p, 8000, wav)
+        paths.append(str(p))
+    filelist = tmp_path / "train.txt"
+    rows = [f"{paths[0]}|k o N n i t i w a",
+            f"{paths[1]}|a i u e o k a k i",
+            f"{paths[2]}|t o: ky o: n i i k u"]
+    filelist.write_text("\n".join(rows), encoding="utf-8")
+    return str(filelist)
+
+
+def test_dataset_and_batcher(wav_dataset):
+    cfg = DataConfig(
+        training_files=wav_dataset, sampling_rate=8000, filter_length=256,
+        hop_length=64, win_length=256, text_module="text_JP",
+        cleaned_text=True, add_blank=True, max_wav_value=32768.0,
+    )
+    ds = TextAudioDataset(wav_dataset, cfg)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["x"].dtype == np.int32
+    assert item["spec"].shape[1] == 129
+    # blank interspersal doubles length + 1
+    raw_len = (len(item["x"]) - 1) // 2
+    assert len(item["x"]) == raw_len * 2 + 1
+
+    # spec cache created beside wavs
+    ds2 = TextAudioDataset(wav_dataset, cfg)
+    item2 = ds2[0]
+    np.testing.assert_allclose(item["spec"], item2["spec"])
+
+    batcher = BucketedBatcher(ds, batch_size=2,
+                              boundaries=[16, 128, 256, 512])
+    batches = list(batcher.iter_epoch(0))
+    assert len(batches) >= 1
+    for b in batches:
+        assert b["x"].shape[0] == 2
+        assert b["spec"].shape[1] in (128, 256, 512)  # bucket boundaries
+        assert b["wav"].shape[1] == b["spec"].shape[1] * 64
+        assert np.all(b["spec_lengths"] <= b["spec"].shape[1])
+
+    # epoch-seeded determinism
+    b0 = batcher.epoch_batches(3)
+    b1 = batcher.epoch_batches(3)
+    assert b0 == b1
+
+
+def test_batcher_rank_partition(wav_dataset):
+    cfg = DataConfig(
+        training_files=wav_dataset, sampling_rate=8000, filter_length=256,
+        hop_length=64, win_length=256, text_module="text_JP",
+        cleaned_text=True, add_blank=True,
+    )
+    ds = TextAudioDataset(wav_dataset, cfg)
+    all_ids = []
+    for rank in range(2):
+        b = BucketedBatcher(ds, batch_size=1, num_replicas=2, rank=rank,
+                            boundaries=[16, 128, 256, 512], shuffle=False)
+        for _, ids in b.epoch_batches(0):
+            all_ids.extend(ids)
+    # every sample appears (padding may duplicate)
+    assert set(all_ids) >= set(range(len(ds))) - set(), all_ids

@@ -1,0 +1,118 @@
+"""Train-step tests: losses finite, params update, runs sharded on an
+8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mb_istft_vits_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from mb_istft_vits_tpu.dsp import spectrogram
+from mb_istft_vits_tpu.parallel import create_mesh, shard_batch
+from mb_istft_vits_tpu.train import create_train_state, make_train_step
+
+
+def tiny_config(n_speakers=0):
+    model = ModelConfig(
+        n_vocab=40, spec_channels=129, segment_size=8,
+        inter_channels=16, hidden_channels=16, filter_channels=32,
+        n_heads=2, n_layers=1, kernel_size=3, p_dropout=0.1,
+        resblock="2", resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+        upsample_rates=(2, 2), upsample_initial_channel=32,
+        upsample_kernel_sizes=(4, 4), gen_istft_n_fft=16,
+        gen_istft_hop_size=4, subbands=4, mb_istft_vits=True,
+        n_speakers=n_speakers, gin_channels=8 if n_speakers else 0,
+    )
+    data = DataConfig(filter_length=256, hop_length=64, win_length=256,
+                      n_mel_channels=20, sampling_rate=8000,
+                      n_speakers=n_speakers)
+    train = TrainConfig(batch_size=8, segment_size=512,
+                        fft_sizes=(32, 64), hop_sizes=(8, 16),
+                        win_lengths=(32, 64), steps_per_epoch=10)
+    return Config(model=model, data=data, train=train)
+
+
+def synth_batch(rng, cfg, b=8, t_x=12, t_wav=2048):
+    wav = (rng.uniform(-0.5, 0.5, size=(b, t_wav)) *
+           np.hanning(t_wav)[None, :]).astype(np.float32)
+    spec = np.asarray(
+        spectrogram(jnp.asarray(wav), cfg.data.filter_length,
+                    cfg.data.hop_length, cfg.data.win_length)
+    )  # [B, bins, F]
+    batch = {
+        "x": jnp.asarray(rng.randint(1, 40, size=(b, t_x)).astype(np.int32)),
+        "x_lengths": jnp.asarray(np.full(b, t_x, np.int32)),
+        "spec": jnp.asarray(spec.transpose(0, 2, 1)),  # [B, F, bins]
+        "spec_lengths": jnp.asarray(np.full(b, spec.shape[2], np.int32)),
+        "wav": jnp.asarray(wav)[..., None],
+        "wav_lengths": jnp.asarray(np.full(b, t_wav, np.int32)),
+    }
+    if cfg.data.n_speakers:
+        batch["sid"] = jnp.asarray(
+            rng.randint(0, cfg.data.n_speakers, size=(b,)).astype(np.int32)
+        )
+    return batch
+
+
+def test_train_step_runs_and_updates(rng):
+    cfg = tiny_config()
+    batch = synth_batch(rng, cfg)
+    state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(cfg, synth, disc))
+
+    p0 = jax.tree.leaves(state.params_g)[0].copy()
+    metrics_hist = []
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+
+    m = metrics_hist[-1]
+    for k, v in m.items():
+        assert np.isfinite(v), (k, v)
+    assert m["loss/g/mel"] > 0
+    assert m["loss/g/subband"] > 0
+    assert int(state.step) == 2
+    p1 = jax.tree.leaves(state.params_g)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_train_step_multispeaker(rng):
+    cfg = tiny_config(n_speakers=3)
+    batch = synth_batch(rng, cfg)
+    state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(cfg, synth, disc))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss/g/total"]))
+
+
+def test_train_step_sharded_8_devices(rng):
+    """Full data-parallel train step over the 8-device CPU mesh."""
+    assert jax.device_count() >= 8, jax.devices()
+    cfg = tiny_config()
+    batch = synth_batch(rng, cfg, b=8)
+    state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    mesh = create_mesh(8)
+    sharded = shard_batch(batch, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(state, repl)
+    step = jax.jit(make_train_step(cfg, synth, disc), donate_argnums=0)
+    state, metrics = step(state, sharded)
+    state, metrics = step(state, sharded)
+    assert np.isfinite(float(metrics["loss/g/total"]))
+    assert np.isfinite(float(metrics["loss/d/total"]))
+
+
+def test_lr_schedule():
+    cfg = tiny_config()
+    from mb_istft_vits_tpu.train.step import make_lr_schedule
+
+    sched = make_lr_schedule(cfg)
+    lr0 = float(sched(0))
+    assert lr0 == pytest.approx(cfg.train.learning_rate)
+    # decays once per epoch (steps_per_epoch=10)
+    assert float(sched(9)) == pytest.approx(lr0)
+    assert float(sched(10)) == pytest.approx(lr0 * cfg.train.lr_decay)
