@@ -1,0 +1,290 @@
+"""Checkpointing: orbax-based save/restore of (params, opt_state, step) and
+an importer for the reference's PyTorch `.pth` layout.
+
+Behavior contract: reference `utils.py:22-79` — G_<step>.pth / D_<step>.pth
+with {model, iteration, optimizer, learning_rate}; lenient key-wise copy;
+latest checkpoint by highest step. Here: orbax checkpoints per step under
+<model_dir>/ckpt/<step>, plus `import_torch_generator/discriminator` so
+public pretrained checkpoints (reference README.md:13) can be loaded for
+parity tests.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# orbax save/restore
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(model_dir: str, step: int, state) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(model_dir, "ckpt", str(step)))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint_step(model_dir: str) -> Optional[int]:
+    root = os.path.join(model_dir, "ckpt")
+    if not os.path.isdir(root):
+        return None
+    steps = [int(d) for d in os.listdir(root) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def load_checkpoint(model_dir: str, step: int, target) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(model_dir, "ckpt", str(step)))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch .pth import
+# ---------------------------------------------------------------------------
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"^module\.", "", k)
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _conv1d_w(w: np.ndarray) -> np.ndarray:
+    """torch [out, in, k] -> flax [k, in, out]."""
+    return np.ascontiguousarray(w.transpose(2, 1, 0))
+
+
+def _convT1d_w(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose1d [in, out, k] -> our [k, in, out]."""
+    return np.ascontiguousarray(w.transpose(2, 0, 1))
+
+
+def _conv2d_w(w: np.ndarray) -> np.ndarray:
+    """torch [out, in, kh, kw] -> flax [kh, kw, in, out]."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def import_torch_generator(path: str, cfg) -> Dict:
+    """Map a reference G_*.pth state dict onto our Synthesizer param tree.
+
+    Weight-normed torch convs store (weight_g, weight_v); our layers store
+    (g, v) with g squeezed to a vector:
+      Conv1d:          g [out,1,1] -> [out],  v [out,in,k] -> [k,in,out]
+      ConvTranspose1d: g [in,1,1]  -> [in],   v [in,out,k] -> [k,in,out]
+    """
+    sd = _load_torch_state_dict(path)
+    params: Dict = {}
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    def plain_conv(dst, src):
+        _set(params, dst + ("kernel",), _conv1d_w(take(src + ".weight")))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), take(src + ".bias"))
+
+    def wn_conv(dst, src, transpose=False):
+        v = take(src + ".weight_v")
+        g = take(src + ".weight_g")
+        if transpose:
+            _set(params, dst + ("v",), _convT1d_w(v))
+            _set(params, dst + ("g",), g.reshape(-1))  # per-in-channel
+        else:
+            _set(params, dst + ("v",), _conv1d_w(v))
+            _set(params, dst + ("g",), g.reshape(-1))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), take(src + ".bias"))
+
+    def layernorm(dst, src):
+        _set(params, dst + ("gamma",), take(src + ".gamma"))
+        _set(params, dst + ("beta",), take(src + ".beta"))
+
+    def dds_conv(dst, src, n_layers=3):
+        for i in range(n_layers):
+            plain_conv(dst + (f"convs_sep_{i}",), f"{src}.convs_sep.{i}")
+            plain_conv(dst + (f"convs_1x1_{i}",), f"{src}.convs_1x1.{i}")
+            layernorm(dst + (f"norms_1_{i}",), f"{src}.norms_1.{i}")
+            layernorm(dst + (f"norms_2_{i}",), f"{src}.norms_2.{i}")
+
+    def wn_block(dst, src, n_layers, has_cond):
+        if has_cond:
+            wn_conv(dst + ("cond_layer",), f"{src}.cond_layer")
+        for i in range(n_layers):
+            wn_conv(dst + (f"in_layers_{i}",), f"{src}.in_layers.{i}")
+            wn_conv(dst + (f"res_skip_layers_{i}",),
+                    f"{src}.res_skip_layers.{i}")
+
+    def conv_flow(dst, src):
+        plain_conv(dst + ("pre",), f"{src}.pre")
+        dds_conv(dst + ("convs",), f"{src}.convs")
+        plain_conv(dst + ("proj",), f"{src}.proj")
+
+    gin = cfg.gin_channels
+
+    # ---- enc_p --------------------------------------------------------
+    _set(params, ("enc_p", "emb", "embedding"), take("enc_p.emb.weight"))
+    for i in range(cfg.n_layers):
+        base = ("enc_p", "encoder", f"attn_layers_{i}")
+        src = f"enc_p.encoder.attn_layers.{i}"
+        for name in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            plain_conv(base + (name,), f"{src}.{name}")
+        _set(params, base + ("emb_rel_k",), take(f"{src}.emb_rel_k"))
+        _set(params, base + ("emb_rel_v",), take(f"{src}.emb_rel_v"))
+        layernorm(("enc_p", "encoder", f"norm_layers_1_{i}"),
+                  f"enc_p.encoder.norm_layers_1.{i}")
+        layernorm(("enc_p", "encoder", f"norm_layers_2_{i}"),
+                  f"enc_p.encoder.norm_layers_2.{i}")
+        plain_conv(("enc_p", "encoder", f"ffn_layers_{i}", "conv_1"),
+                   f"enc_p.encoder.ffn_layers.{i}.conv_1")
+        plain_conv(("enc_p", "encoder", f"ffn_layers_{i}", "conv_2"),
+                   f"enc_p.encoder.ffn_layers.{i}.conv_2")
+    plain_conv(("enc_p", "proj"), "enc_p.proj")
+
+    # ---- enc_q --------------------------------------------------------
+    plain_conv(("enc_q", "pre"), "enc_q.pre")
+    plain_conv(("enc_q", "proj"), "enc_q.proj")
+    wn_block(("enc_q", "enc"), "enc_q.enc", 16, gin != 0)
+
+    # ---- flow ---------------------------------------------------------
+    for i in range(4):
+        base = ("flow", f"coupling_{i}")
+        src = f"flow.flows.{2 * i}"  # odd indices are Flip (no params)
+        plain_conv(base + ("pre",), f"{src}.pre")
+        plain_conv(base + ("post",), f"{src}.post")
+        wn_block(base + ("enc",), f"{src}.enc", 4, gin != 0)
+
+    # ---- duration predictor -------------------------------------------
+    if cfg.use_sdp:
+        _set(params, ("dp", "flows_0", "m"),
+             take("dp.flows.0.m").reshape(-1))
+        _set(params, ("dp", "flows_0", "logs"),
+             take("dp.flows.0.logs").reshape(-1))
+        for i in range(4):
+            conv_flow(("dp", f"flows_cf_{i}"), f"dp.flows.{1 + 2 * i}")
+        _set(params, ("dp", "post_flows_0", "m"),
+             take("dp.post_flows.0.m").reshape(-1))
+        _set(params, ("dp", "post_flows_0", "logs"),
+             take("dp.post_flows.0.logs").reshape(-1))
+        for i in range(4):
+            conv_flow(("dp", f"post_flows_cf_{i}"),
+                      f"dp.post_flows.{1 + 2 * i}")
+        for name in ("pre", "proj", "post_pre", "post_proj"):
+            plain_conv(("dp", name), f"dp.{name}")
+        dds_conv(("dp", "convs"), "dp.convs")
+        dds_conv(("dp", "post_convs"), "dp.post_convs")
+        if gin:
+            plain_conv(("dp", "cond"), "dp.cond")
+    else:
+        for name in ("conv_1", "conv_2", "proj"):
+            plain_conv(("dp", name), f"dp.{name}")
+        layernorm(("dp", "norm_1"), "dp.norm_1")
+        layernorm(("dp", "norm_2"), "dp.norm_2")
+        if gin:
+            plain_conv(("dp", "cond"), "dp.cond")
+
+    # ---- decoder ------------------------------------------------------
+    trunk = ("dec", "trunk")
+    wn_conv(trunk + ("conv_pre",), "dec.conv_pre")
+    for i in range(len(cfg.upsample_rates)):
+        wn_conv(trunk + (f"ups_{i}",), f"dec.ups.{i}", transpose=True)
+    n_res = len(cfg.resblock_kernel_sizes) * len(cfg.upsample_rates)
+    for i in range(n_res):
+        base = trunk + (f"resblocks_{i}",)
+        src = f"dec.resblocks.{i}"
+        if cfg.resblock == "1":
+            for j in range(3):
+                wn_conv(base + (f"convs1_{j}",), f"{src}.convs1.{j}")
+                wn_conv(base + (f"convs2_{j}",), f"{src}.convs2.{j}")
+        else:
+            for j in range(2):
+                wn_conv(base + (f"convs_{j}",), f"{src}.convs.{j}")
+        if gin and f"{src}.cond.weight" in sd:
+            plain_conv(base + ("cond",), f"{src}.cond")
+    kind = cfg.decoder_kind
+    if kind == "istft":
+        wn_conv(("dec", "conv_post"), "dec.conv_post")
+    else:
+        wn_conv(("dec", "subband_conv_post"), "dec.subband_conv_post")
+    if kind == "ms_istft":
+        wn_conv(("dec", "multistream_conv_post"), "dec.multistream_conv_post")
+        consumed.add("dec.updown_filter")  # identity buffer, trace-time here
+    if kind == "mb_istft":
+        pass  # PQMF buffers are trace-time constants
+
+    # ---- speaker embedding ---------------------------------------------
+    if cfg.n_speakers > 1:
+        _set(params, ("emb_g", "embedding"), take("emb_g.weight"))
+
+    # buffers we intentionally don't import
+    for k in list(sd):
+        if k.endswith(("stft.window", "updown_filter", "analysis_filter",
+                       "synthesis_filter")):
+            consumed.add(k)
+
+    leftover = sorted(set(sd) - consumed)
+    if leftover:
+        raise ValueError(f"unmapped torch keys: {leftover[:20]}"
+                         f"{'...' if len(leftover) > 20 else ''}")
+    return jax.tree.map(np.asarray, params)
+
+
+def import_torch_discriminator(path: str) -> Dict:
+    """Map a reference D_*.pth onto our MultiPeriodDiscriminator tree."""
+    sd = _load_torch_state_dict(path)
+    params: Dict = {}
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    def wn1(dst, src):
+        _set(params, dst + ("v",), _conv1d_w(take(src + ".weight_v")))
+        _set(params, dst + ("g",), take(src + ".weight_g").reshape(-1))
+        _set(params, dst + ("bias",), take(src + ".bias"))
+
+    def wn2(dst, src):
+        _set(params, dst + ("v",), _conv2d_w(take(src + ".weight_v")))
+        _set(params, dst + ("g",), take(src + ".weight_g").reshape(-1))
+        _set(params, dst + ("bias",), take(src + ".bias"))
+
+    # discriminators.0 = S, 1..5 = P{2,3,5,7,11}
+    for i in range(7):
+        wn1(("disc_s", f"convs_{i}" if i < 6 else "conv_post"),
+            f"discriminators.0.convs.{i}" if i < 6
+            else "discriminators.0.conv_post")
+    for pi, period in enumerate([2, 3, 5, 7, 11]):
+        src = f"discriminators.{pi + 1}"
+        for i in range(5):
+            wn2((f"disc_p{period}", f"convs_{i}"), f"{src}.convs.{i}")
+        wn2((f"disc_p{period}", "conv_post"), f"{src}.conv_post")
+
+    leftover = sorted(set(sd) - consumed)
+    if leftover:
+        raise ValueError(f"unmapped torch keys: {leftover[:20]}")
+    return jax.tree.map(np.asarray, params)
