@@ -1,0 +1,378 @@
+"""Serving module: text → waveform with compiled static-shape buckets,
+stage timings, chunked/streaming decode, and voice conversion.
+
+Behavior contract: reference `synthesis_module.py` —
+  - process-wide singleton factory (`:17-30`)
+  - `synthesize(text, sid)` / `synthesize_with_z` (`:141-191`)
+  - `infer_z_only` decoder-less latents (`:148-162`)
+  - incremental synthesis: latents once, decode chunk-by-chunk
+    (`prepare_shared_latents`/`synthesize_from_shared_latents`, `:193-353`;
+    broken as shipped — repaired here with overlap-add crossfade decode)
+  - per-stage timings + RTF (reference models.py:698-737,
+    run_synthesis.py:40-49)
+
+TPU-first design: text lengths and output frames are padded to bucket sizes
+so each (text_bucket, frame_bucket) pair compiles exactly one XLA program;
+programs are cached across calls. The chunked decoder compiles once for a
+fixed (chunk, overlap) shape and is reused for any utterance length.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mb_istft_vits_tpu.config import Config, ModelConfig
+from mb_istft_vits_tpu.models import Synthesizer
+from mb_istft_vits_tpu.text import (
+    cleaned_text_to_sequence,
+    get_symbols,
+    intersperse,
+    text_to_sequence,
+)
+
+_instances: Dict[str, "SynthesisModule"] = {}
+
+
+def get_synthesis_module_instance(config_path: str,
+                                  checkpoint_path: Optional[str] = None,
+                                  **kwargs) -> "SynthesisModule":
+    """Singleton factory (reference synthesis_module.py:17-30)."""
+    key = f"{config_path}::{checkpoint_path}"
+    if key not in _instances:
+        _instances[key] = SynthesisModule(config_path, checkpoint_path,
+                                          **kwargs)
+    return _instances[key]
+
+
+def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class SynthesisModule:
+    """Reference SynthesisModule equivalent (synthesis_module.py:79-353)."""
+
+    TEXT_BUCKETS = (32, 64, 128, 192, 256, 384)
+    FRAME_BUCKETS = (128, 256, 512, 1024, 2048)
+
+    def __init__(
+        self,
+        config_path: str,
+        checkpoint_path: Optional[str] = None,
+        params=None,
+        seed: int = 0,
+        compute_dtype=jnp.float32,
+    ):
+        self.config = Config.from_json(config_path)
+        self.cfg = self.config.model
+        self.data_cfg = self.config.data
+        self.model = Synthesizer(self.cfg)
+        self.compute_dtype = compute_dtype
+        self._rng = jax.random.PRNGKey(seed)
+
+        if params is not None:
+            self.params = params
+        elif checkpoint_path is not None:
+            if checkpoint_path.endswith((".pth", ".pt")):
+                from mb_istft_vits_tpu.train.checkpoint import (
+                    import_torch_generator,
+                )
+
+                self.params = import_torch_generator(checkpoint_path,
+                                                     self.cfg)
+            else:
+                from mb_istft_vits_tpu.train.checkpoint import load_checkpoint
+
+                raise NotImplementedError(
+                    "orbax dir restore: pass params= from "
+                    "train.checkpoint.load_checkpoint instead"
+                )
+        else:
+            # random init (benchmarks / smoke tests)
+            x = jnp.zeros((1, 8), jnp.int32)
+            xl = jnp.asarray([8], jnp.int32)
+            y = jnp.zeros((1, 16, self.cfg.spec_channels), jnp.float32)
+            yl = jnp.asarray([16], jnp.int32)
+            sid = jnp.zeros((1,), jnp.int32) if self.cfg.n_speakers else None
+            variables = self.model.init(
+                {"params": jax.random.PRNGKey(seed),
+                 "noise": jax.random.PRNGKey(1),
+                 "dropout": jax.random.PRNGKey(2),
+                 "slice": jax.random.PRNGKey(3)},
+                x, xl, y, yl, sid=sid, train=False,
+            )
+            self.params = variables["params"]
+        if compute_dtype != jnp.float32:
+            self.params = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                self.params,
+            )
+
+        self.hop_length = self.data_cfg.hop_length
+        self.sampling_rate = self.data_cfg.sampling_rate
+
+        self._infer_jit = functools.lru_cache(maxsize=None)(self._build_infer)
+        self._latents_jit = functools.lru_cache(maxsize=None)(
+            self._build_latents
+        )
+        self._decode_jit = functools.lru_cache(maxsize=None)(
+            self._build_decode
+        )
+
+    # ------------------------------------------------------------------
+    # compiled program builders (one per static shape bucket)
+    # ------------------------------------------------------------------
+    def _build_infer(self, max_frames: int):
+        def fn(params, x, x_lengths, sid, noise_scale, length_scale,
+               noise_scale_w, rng):
+            return self.model.apply(
+                {"params": params}, x, x_lengths, sid=sid,
+                noise_scale=noise_scale, length_scale=length_scale,
+                noise_scale_w=noise_scale_w, max_frames=max_frames,
+                method=Synthesizer.infer, rngs={"noise": rng},
+            )
+
+        return jax.jit(fn)
+
+    def _build_latents(self, max_frames: int):
+        def fn(params, x, x_lengths, sid, noise_scale, length_scale,
+               noise_scale_w, rng):
+            return self.model.apply(
+                {"params": params}, x, x_lengths, sid=sid,
+                noise_scale=noise_scale, length_scale=length_scale,
+                noise_scale_w=noise_scale_w, max_frames=max_frames,
+                method=Synthesizer.infer_z_only, rngs={"noise": rng},
+            )
+
+        return jax.jit(fn)
+
+    def _build_decode(self, n_frames: int):
+        def fn(params, z, sid):
+            o, o_mb, spec, phase = self.model.apply(
+                {"params": params}, z, sid,
+                method=Synthesizer.decode,
+            )
+            return o
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    # text frontend (reference synthesis_module.py:34-74)
+    # ------------------------------------------------------------------
+    def text_to_ids(self, text: str, cleaned: Optional[bool] = None
+                    ) -> np.ndarray:
+        cfg = self.data_cfg
+        cleaned = cfg.cleaned_text if cleaned is None else cleaned
+        if cleaned:
+            ids = cleaned_text_to_sequence(text, cfg.text_module)
+        else:
+            ids = text_to_sequence(text, cfg.text_cleaners, cfg.text_module)
+        if cfg.add_blank:
+            ids = intersperse(ids, 0)
+        return np.asarray(ids, np.int32)
+
+    def _pad_ids(self, ids: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        t = _next_bucket(len(ids), self.TEXT_BUCKETS)
+        x = np.zeros((1, t), np.int32)
+        x[0, : len(ids)] = ids
+        return jnp.asarray(x), jnp.asarray([len(ids)], jnp.int32)
+
+    def _sid(self, sid: Optional[int]):
+        if self.cfg.n_speakers > 0:
+            return jnp.asarray([0 if sid is None else int(sid)], jnp.int32)
+        return None
+
+    def _frames_bucket(self, n_tokens: int, length_scale: float) -> int:
+        est = int(n_tokens * 6 * length_scale) + 32
+        return _next_bucket(est, self.FRAME_BUCKETS)
+
+    # ------------------------------------------------------------------
+    # synthesis entry points
+    # ------------------------------------------------------------------
+    def synthesize_with_z(
+        self,
+        text: str,
+        sid: Optional[int] = None,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 0.8,
+        cleaned: Optional[bool] = None,
+        seed: Optional[int] = None,
+    ):
+        """(audio, z, timings) (reference synthesis_module.py:164-191)."""
+        ids = self.text_to_ids(text, cleaned)
+        x, x_lengths = self._pad_ids(ids)
+        sid_arr = self._sid(sid)
+        rng = (jax.random.PRNGKey(seed) if seed is not None
+               else self._next_rng())
+
+        bucket = self._frames_bucket(len(ids), length_scale)
+        t0 = time.perf_counter()
+        while True:
+            fn = self._infer_jit(bucket)
+            out = fn(self.params, x, x_lengths, sid_arr, noise_scale,
+                     length_scale, noise_scale_w, rng)
+            y_len = int(out.y_lengths[0])
+            if y_len < bucket or bucket == self.FRAME_BUCKETS[-1]:
+                break
+            bucket = _next_bucket(bucket + 1, self.FRAME_BUCKETS)
+        audio = np.asarray(out.o[0, :, 0], np.float32)
+        wav_len = y_len * self._samples_per_frame()
+        audio = audio[:wav_len]
+        elapsed = time.perf_counter() - t0
+        timings = {
+            "total": elapsed,
+            "audio_seconds": len(audio) / self.sampling_rate,
+            "rtf": elapsed / max(len(audio) / self.sampling_rate, 1e-9),
+            "frame_bucket": bucket,
+        }
+        z = np.asarray(out.latents[0][0, :y_len])
+        return audio, z, timings
+
+    def synthesize(self, text: str, sid: Optional[int] = None, **kwargs):
+        """(audio, timings) (reference synthesis_module.py:141-146)."""
+        audio, _, timings = self.synthesize_with_z(text, sid, **kwargs)
+        return audio, timings
+
+    def _samples_per_frame(self) -> int:
+        return self.hop_length
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # ------------------------------------------------------------------
+    # latent-only + chunked decode (reference synthesis_module.py:193-353)
+    # ------------------------------------------------------------------
+    def prepare_shared_latents(
+        self,
+        text: str,
+        sid: Optional[int] = None,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 0.8,
+        cleaned: Optional[bool] = None,
+        seed: Optional[int] = None,
+    ):
+        """One latents pass; returns (z [T,C], y_len, sid)."""
+        ids = self.text_to_ids(text, cleaned)
+        x, x_lengths = self._pad_ids(ids)
+        sid_arr = self._sid(sid)
+        rng = (jax.random.PRNGKey(seed) if seed is not None
+               else self._next_rng())
+        bucket = self._frames_bucket(len(ids), length_scale)
+        while True:
+            fn = self._latents_jit(bucket)
+            attn, y_mask, y_lengths, (z, *_) = fn(
+                self.params, x, x_lengths, sid_arr, noise_scale,
+                length_scale, noise_scale_w, rng,
+            )
+            y_len = int(y_lengths[0])
+            if y_len < bucket or bucket == self.FRAME_BUCKETS[-1]:
+                break
+            bucket = _next_bucket(bucket + 1, self.FRAME_BUCKETS)
+        return np.asarray(z[0, :y_len]), y_len, sid
+
+    def stream_from_latents(
+        self,
+        z: np.ndarray,
+        sid: Optional[int] = None,
+        chunk_frames: int = 64,
+        overlap_frames: int = 8,
+    ) -> Iterator[np.ndarray]:
+        """Decode z chunk-by-chunk with waveform overlap-add crossfade —
+        the distilled version of the reference notebooks' chunked decoding
+        strategies (infer.ipynb cells 3-12) and the repaired
+        synthesize_from_shared_latents."""
+        spf = self._samples_per_frame()
+        t_total = z.shape[0]
+        sid_arr = self._sid(sid)
+        dec = self._decode_jit(chunk_frames + 2 * overlap_frames)
+
+        ov_samps = overlap_frames * spf
+        fade_in = np.linspace(0.0, 1.0, ov_samps, dtype=np.float32)
+        fade_out = 1.0 - fade_in
+
+        prev_tail: Optional[np.ndarray] = None
+        pos = 0
+        while pos < t_total:
+            lo = max(0, pos - overlap_frames)
+            hi = min(t_total, pos + chunk_frames + overlap_frames)
+            window = np.zeros(
+                (1, chunk_frames + 2 * overlap_frames, z.shape[-1]),
+                np.float32,
+            )
+            window[0, : hi - lo] = z[lo:hi]
+            wav = np.asarray(dec(self.params, jnp.asarray(window),
+                                 sid_arr))[0, :, 0]
+            wav = wav[: (hi - lo) * spf]
+            # valid region of this chunk inside `wav`
+            start = (pos - lo) * spf
+            end = min(start + chunk_frames * spf, len(wav))
+            body = wav[start:end]
+            head_ov = wav[max(0, start - ov_samps) : start]
+            if prev_tail is not None and len(head_ov) == ov_samps and len(
+                prev_tail
+            ) == ov_samps:
+                crossed = prev_tail * fade_out + head_ov * fade_in
+                yield crossed
+            elif prev_tail is not None:
+                yield prev_tail
+            # hold back our own tail for crossfading with the next chunk
+            tail_sz = min(ov_samps, len(body))
+            if pos + chunk_frames < t_total and tail_sz == ov_samps:
+                yield body[:-ov_samps] if len(body) > ov_samps else \
+                    body[:0]
+                prev_tail = body[-ov_samps:]
+            else:
+                yield body
+                prev_tail = None
+            pos += chunk_frames
+        if prev_tail is not None:
+            yield prev_tail
+
+    def synthesize_from_shared_latents(
+        self, z: np.ndarray, sid: Optional[int] = None, **kwargs
+    ) -> np.ndarray:
+        """Concatenated chunked decode (repairs synthesis_module.py:306-353)."""
+        return np.concatenate(list(self.stream_from_latents(z, sid, **kwargs)))
+
+    def infer_z_only(self, z: np.ndarray, sid: Optional[int] = None
+                     ) -> np.ndarray:
+        """Decoder-only on a full z (reference synthesis_module.py:148-162)."""
+        bucket = _next_bucket(z.shape[0], self.FRAME_BUCKETS)
+        zp = np.zeros((1, bucket, z.shape[-1]), np.float32)
+        zp[0, : z.shape[0]] = z
+        dec = self._decode_jit(bucket)
+        wav = np.asarray(dec(self.params, jnp.asarray(zp), self._sid(sid)))
+        return wav[0, : z.shape[0] * self._samples_per_frame(), 0]
+
+    # ------------------------------------------------------------------
+    # staged timings (reference models.py:698-737 parity)
+    # ------------------------------------------------------------------
+    def synthesize_staged(self, text: str, sid: Optional[int] = None,
+                          **kwargs) -> Tuple[np.ndarray, Dict[str, float]]:
+        """Synthesis with a per-stage timing dict: latents (text_encoder +
+        duration_predictor + alignment + flow) and waveform_decoder."""
+        t0 = time.perf_counter()
+        z, y_len, sid = self.prepare_shared_latents(text, sid, **kwargs)
+        jax.block_until_ready(jnp.zeros(()))
+        t1 = time.perf_counter()
+        audio = self.infer_z_only(z, sid)
+        t2 = time.perf_counter()
+        timings = {
+            "latents": t1 - t0,
+            "waveform_decoder": t2 - t1,
+            "total": t2 - t0,
+            "rtf": (t2 - t0) / max(len(audio) / self.sampling_rate, 1e-9),
+        }
+        return audio, timings

@@ -1,0 +1,3 @@
+"""Streaming TTS serving."""
+
+from mb_istft_vits_tpu.serve.streaming import IncrementalTTS, TTSRequest  # noqa: F401

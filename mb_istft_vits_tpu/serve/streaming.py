@@ -1,0 +1,223 @@
+"""Incremental streaming TTS with cancellation.
+
+Behavior contract: reference `tts_vits.py:24-252` — a RabbitMQ "incremental
+unit" module for the Remdis dialogue framework with three threads
+(listen / synthesize / send), REVOKE cancellation, resampling,
+normalize→int16→base64 PCM chunks emitted at a fixed send interval.
+
+Here the core engine is transport-agnostic: `IncrementalTTS` runs the same
+three-stage pipeline over queues and emits chunks to a callback; a thin
+RabbitMQ adapter (`RemdisTTSModule`) is provided behind an optional `pika`
+import. Chunking is 20 ms PCM frames like the reference (`:141-235`).
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TTSRequest:
+    text: str
+    utterance_id: str = ""
+    sid: Optional[int] = None
+    noise_scale: float = 0.667
+    length_scale: float = 1.0
+    noise_scale_w: float = 0.8
+    cleaned: Optional[bool] = None
+
+
+def resample_linear(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear resampler (replaces the reference's librosa.resample,
+    tts_vits.py semantics; linear is adequate for 16k->48k playback)."""
+    if sr_in == sr_out:
+        return audio
+    n_out = int(round(len(audio) * sr_out / sr_in))
+    x_out = np.linspace(0.0, len(audio) - 1, n_out)
+    return np.interp(x_out, np.arange(len(audio)), audio).astype(np.float32)
+
+
+def to_int16(audio: np.ndarray) -> np.ndarray:
+    return (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
+
+
+class IncrementalTTS:
+    """Three-stage streaming pipeline: text queue → synthesis thread →
+    chunk queue → sender thread → `on_chunk` callback.
+
+    REVOKE semantics (reference tts_vits.py): `revoke(utterance_id)` drops
+    queued text and flushes pending audio for that utterance.
+    """
+
+    def __init__(
+        self,
+        synthesis_module,
+        on_chunk: Callable[[str, bytes], None],
+        out_sample_rate: Optional[int] = None,
+        chunk_ms: int = 20,
+        send_interval_ms: int = 20,
+        base64_encode: bool = True,
+    ):
+        self.module = synthesis_module
+        self.on_chunk = on_chunk
+        self.sr_in = synthesis_module.sampling_rate
+        self.sr_out = out_sample_rate or self.sr_in
+        self.chunk_samples = int(self.sr_out * chunk_ms / 1000)
+        self.send_interval = send_interval_ms / 1000.0
+        self.base64_encode = base64_encode
+
+        self._text_q: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
+        self._audio_q: "queue.Queue[tuple]" = queue.Queue()
+        self._revoked: set = set()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads = []
+
+    # -- public API ------------------------------------------------------
+    def submit(self, request: TTSRequest) -> None:
+        self._text_q.put(request)
+
+    def revoke(self, utterance_id: str) -> None:
+        with self._lock:
+            self._revoked.add(utterance_id)
+
+    def start(self) -> None:
+        self._threads = [
+            threading.Thread(target=self._synthesize_loop, daemon=True),
+            threading.Thread(target=self._send_loop, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._text_q.put(None)
+        for t in self._threads:
+            t.join(timeout=5)
+
+    # -- pipeline stages ---------------------------------------------------
+    def _is_revoked(self, uid: str) -> bool:
+        with self._lock:
+            return uid in self._revoked
+
+    def _synthesize_loop(self) -> None:
+        while not self._stop.is_set():
+            req = self._text_q.get()
+            if req is None:
+                break
+            if self._is_revoked(req.utterance_id):
+                continue
+            # latents once, decode incrementally (streaming chunks start
+            # flowing before the full utterance is decoded)
+            z, y_len, sid = self.module.prepare_shared_latents(
+                req.text, sid=req.sid, noise_scale=req.noise_scale,
+                length_scale=req.length_scale,
+                noise_scale_w=req.noise_scale_w, cleaned=req.cleaned,
+            )
+            for wav in self.module.stream_from_latents(z, sid=sid):
+                if self._is_revoked(req.utterance_id):
+                    break
+                if len(wav) == 0:
+                    continue
+                audio = resample_linear(wav, self.sr_in, self.sr_out)
+                self._audio_q.put((req.utterance_id, audio))
+            self._audio_q.put((req.utterance_id, None))  # end marker
+
+    def _send_loop(self) -> None:
+        buf = np.zeros(0, np.float32)
+        uid = ""
+        while not self._stop.is_set():
+            try:
+                uid_new, audio = self._audio_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if self._is_revoked(uid_new):
+                buf = np.zeros(0, np.float32)
+                continue
+            uid = uid_new
+            if audio is not None:
+                buf = np.concatenate([buf, audio])
+            flush = audio is None
+            while len(buf) >= self.chunk_samples or (flush and len(buf)):
+                chunk, buf = (buf[: self.chunk_samples],
+                              buf[self.chunk_samples :])
+                pcm = to_int16(chunk).tobytes()
+                payload = (base64.b64encode(pcm) if self.base64_encode
+                           else pcm)
+                self.on_chunk(uid, payload)
+                if self.send_interval:
+                    time.sleep(self.send_interval)
+                if flush and len(buf) < self.chunk_samples and len(buf):
+                    pcm = to_int16(buf).tobytes()
+                    self.on_chunk(
+                        uid,
+                        base64.b64encode(pcm) if self.base64_encode else pcm,
+                    )
+                    buf = np.zeros(0, np.float32)
+
+
+class RemdisTTSModule:
+    """RabbitMQ adapter mirroring the reference Remdis module surface
+    (tts_vits.py:24-252). Requires the optional `pika` package."""
+
+    def __init__(self, synthesis_module, host: str = "localhost",
+                 in_exchange: str = "dialogue", out_exchange: str = "tts"):
+        try:
+            import pika  # type: ignore # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "RemdisTTSModule needs the optional 'pika' package; use "
+                "IncrementalTTS with your own transport instead."
+            ) from e
+        self.host = host
+        self.in_exchange = in_exchange
+        self.out_exchange = out_exchange
+        self.engine = IncrementalTTS(synthesis_module, self._publish)
+
+    def _publish(self, uid: str, payload: bytes) -> None:
+        import json
+
+        import pika  # type: ignore
+
+        conn = pika.BlockingConnection(
+            pika.ConnectionParameters(host=self.host)
+        )
+        ch = conn.channel()
+        ch.basic_publish(
+            exchange=self.out_exchange, routing_key="",
+            body=json.dumps({"id": uid, "chunk": payload.decode()}),
+        )
+        conn.close()
+
+    def run(self) -> None:
+        import json
+
+        import pika  # type: ignore
+
+        self.engine.start()
+        conn = pika.BlockingConnection(
+            pika.ConnectionParameters(host=self.host)
+        )
+        ch = conn.channel()
+        ch.exchange_declare(exchange=self.in_exchange, exchange_type="fanout")
+        q = ch.queue_declare(queue="", exclusive=True).method.queue
+        ch.queue_bind(exchange=self.in_exchange, queue=q)
+
+        def cb(chan, method, properties, body):
+            msg = json.loads(body)
+            if msg.get("update_type") == "REVOKE":
+                self.engine.revoke(msg.get("id", ""))
+            else:
+                self.engine.submit(TTSRequest(
+                    text=msg.get("body", ""), utterance_id=msg.get("id", ""),
+                ))
+
+        ch.basic_consume(queue=q, on_message_callback=cb, auto_ack=True)
+        ch.start_consuming()

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Training CLI, mirroring the reference `python train_latest.py -c <cfg>
+-m <name>` (reference train_latest.py / utils.py:158-185).
+
+Single-program SPMD: one process per host, all local devices in a 1-D
+'data' mesh (multi-host via jax.distributed.initialize when
+JAX_COORDINATOR_ADDRESS is set). Rank-0 duties (logging, TensorBoard,
+checkpointing, eval) follow jax.process_index() == 0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+
+def get_logger(model_dir: str, filename: str = "train.log"):
+    """reference utils.py:228-240"""
+    logger = logging.getLogger(os.path.basename(model_dir))
+    logger.setLevel(logging.DEBUG)
+    formatter = logging.Formatter(
+        "%(asctime)s\t%(name)s\t%(levelname)s\t%(message)s"
+    )
+    os.makedirs(model_dir, exist_ok=True)
+    h = logging.FileHandler(os.path.join(model_dir, filename))
+    h.setFormatter(formatter)
+    logger.addHandler(h)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(formatter)
+    logger.addHandler(sh)
+    return logger
+
+
+def check_git_hash(model_dir: str, logger):
+    """reference utils.py:208-225"""
+    import subprocess
+
+    source_dir = os.path.dirname(os.path.realpath(__file__))
+    if not os.path.exists(os.path.join(source_dir, ".git")):
+        return
+    cur_hash = subprocess.getoutput("git rev-parse HEAD")
+    path = os.path.join(model_dir, "githash")
+    if os.path.exists(path):
+        saved = open(path).read()
+        if saved != cur_hash:
+            logger.warning("git hash mismatch: %s(saved) != %s(current)",
+                           saved[:8], cur_hash[:8])
+    else:
+        open(path, "w").write(cur_hash)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True,
+                        help="JSON config (reference schema)")
+    parser.add_argument("-m", "--model", type=str, required=True,
+                        help="Model name (logs/<name>)")
+    parser.add_argument("--max-steps", type=int, default=0,
+                        help="stop after N steps (0 = epochs from config)")
+    args = parser.parse_args()
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+    import jax
+    import numpy as np
+
+    from mb_istft_vits_tpu.config import Config
+    from mb_istft_vits_tpu.data import BucketedBatcher, TextAudioDataset
+    from mb_istft_vits_tpu.parallel import create_mesh, shard_batch
+    from mb_istft_vits_tpu.train import create_train_state, make_train_step
+    from mb_istft_vits_tpu.train.checkpoint import (
+        latest_checkpoint_step,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    model_dir = os.path.join("./logs", args.model)
+    os.makedirs(model_dir, exist_ok=True)
+    is_rank0 = jax.process_index() == 0
+    logger = get_logger(model_dir) if is_rank0 else logging.getLogger("null")
+    if is_rank0:
+        check_git_hash(model_dir, logger)
+        # snapshot config (reference utils.py:172-177)
+        with open(args.config) as f:
+            cfg_text = f.read()
+        with open(os.path.join(model_dir, "config.json"), "w") as f:
+            f.write(cfg_text)
+
+    cfg = Config.from_json(args.config)
+    dataset = TextAudioDataset(cfg.data.training_files, cfg.data,
+                               seed=cfg.train.seed)
+    n_hosts = jax.process_count()
+    batcher = BucketedBatcher(
+        dataset, cfg.train.batch_size, num_replicas=n_hosts,
+        rank=jax.process_index(),
+    )
+    steps_per_epoch = len(batcher)
+    cfg = Config(
+        model=cfg.model, data=cfg.data,
+        train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "steps_per_epoch": steps_per_epoch}
+        ),
+    )
+    if is_rank0:
+        logger.info("dataset: %d utts, %d steps/epoch", len(dataset),
+                    steps_per_epoch)
+
+    mesh = create_mesh()
+    first_batch = next(batcher.iter_epoch(0))
+    state, synth, disc = create_train_state(
+        cfg, jax.random.PRNGKey(cfg.train.seed),
+        jax.tree.map(lambda a: a[:2], first_batch),
+    )
+
+    start_step = latest_checkpoint_step(model_dir)
+    if start_step is not None:
+        state = load_checkpoint(model_dir, start_step, state)
+        if is_rank0:
+            logger.info("resumed from step %d", start_step)
+
+    step_fn = jax.jit(make_train_step(cfg, synth, disc), donate_argnums=0)
+
+    writer = None
+    if is_rank0:
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(log_dir=model_dir)
+        except ImportError:
+            pass
+
+    global_step = int(state.step)
+    t_last = time.perf_counter()
+    epoch0 = global_step // max(steps_per_epoch, 1)
+    for epoch in range(epoch0, cfg.train.epochs):
+        for batch in batcher.iter_epoch(epoch):
+            sharded = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, sharded)
+            global_step += 1
+            if is_rank0 and global_step % cfg.train.log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                m["steps_per_sec"] = cfg.train.log_interval / dt
+                logger.info("step %d: %s", global_step,
+                            json.dumps({k: round(v, 5) for k, v in
+                                        m.items()}))
+                if writer:
+                    for k, v in m.items():
+                        writer.add_scalar(k, v, global_step)
+            if is_rank0 and global_step % cfg.train.eval_interval == 0:
+                save_checkpoint(model_dir, global_step, state)
+                logger.info("saved checkpoint at %d", global_step)
+            if args.max_steps and global_step >= args.max_steps:
+                if is_rank0:
+                    save_checkpoint(model_dir, global_step, state)
+                return
+
+
+if __name__ == "__main__":
+    main()
