@@ -99,8 +99,9 @@ class SynthesisModule:
             # random init (benchmarks / smoke tests)
             x = jnp.zeros((1, 8), jnp.int32)
             xl = jnp.asarray([8], jnp.int32)
-            y = jnp.zeros((1, 16, self.cfg.spec_channels), jnp.float32)
-            yl = jnp.asarray([16], jnp.int32)
+            t_init = self.cfg.segment_size + 8  # slice needs >= segment
+            y = jnp.zeros((1, t_init, self.cfg.spec_channels), jnp.float32)
+            yl = jnp.asarray([t_init], jnp.int32)
             sid = jnp.zeros((1,), jnp.int32) if self.cfg.n_speakers else None
             variables = self.model.init(
                 {"params": jax.random.PRNGKey(seed),

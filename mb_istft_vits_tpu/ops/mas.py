@@ -83,10 +83,15 @@ def _backtrack(value: jnp.ndarray, t_ys: jnp.ndarray,
 
 
 def maximum_path(
-    neg_cent: jnp.ndarray, mask: jnp.ndarray, use_pallas: bool = False
+    neg_cent: jnp.ndarray, mask: jnp.ndarray, use_pallas: str = "auto"
 ) -> jnp.ndarray:
     """Drop-in for reference `monotonic_align.maximum_path`
-    (`monotonic_align/__init__.py:6-19`). mask: [B, T_y, T_x]."""
+    (`monotonic_align/__init__.py:6-19`). mask: [B, T_y, T_x].
+
+    use_pallas: "auto" (Pallas kernel on TPU, scan elsewhere), True, False.
+    """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from mb_istft_vits_tpu.ops.mas_pallas import maximum_path_pallas
 

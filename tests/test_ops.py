@@ -107,3 +107,25 @@ def test_sequence_mask():
     m = np.asarray(sequence_mask(jnp.asarray([1, 3, 5]), 5))
     assert m.sum() == 9
     assert m[0, 0] and not m[0, 1] and m[2, 4]
+
+
+def test_maximum_path_pallas_interpret(rng, monkeypatch):
+    """Pallas MAS kernel (interpret mode on CPU) vs the reference DP."""
+    from jax.experimental import pallas as pl
+
+    import mb_istft_vits_tpu.ops.mas_pallas as mp
+
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mp.pl, "pallas_call", interp)
+
+    neg_cent, mask = _random_mas_problem(rng, b=4, t_y=33, t_x=17)
+    ours = np.asarray(
+        mp.maximum_path_pallas(jnp.asarray(neg_cent), jnp.asarray(mask))
+    )
+    oracle = maximum_path_numpy(neg_cent, mask)
+    np.testing.assert_array_equal(ours, oracle)
