@@ -43,8 +43,8 @@ def _fwd_kernel(t_ys_ref, t_xs_ref, nc_ref, dec_ref, prev_ref):
         prev_ref[:] = jnp.full((b, t_x_max), _MAX_NEG, jnp.float32)
 
     prev = prev_ref[:]
-    t_ys = t_ys_ref[:][:, None]  # [B, 1]
-    t_xs = t_xs_ref[:][:, None]
+    t_ys = t_ys_ref[:]  # [B, 1]
+    t_xs = t_xs_ref[:]
 
     # advance-from-previous-token candidate (shift right along lanes)
     shifted = pltpu.roll(prev, 1, axis=1)
@@ -70,8 +70,8 @@ def _bwd_kernel(t_ys_ref, t_xs_ref, dec_ref, path_ref, onehot_ref):
     y = t_y_max - 1 - i
     b, t_x_max = onehot_ref.shape
     xs = jax.lax.broadcasted_iota(jnp.int32, (b, t_x_max), 1)
-    t_ys = t_ys_ref[:][:, None]
-    t_xs = t_xs_ref[:][:, None]
+    t_ys = t_ys_ref[:]  # [B, 1]
+    t_xs = t_xs_ref[:]
 
     @pl.when(i == 0)
     def _():
@@ -99,17 +99,17 @@ def maximum_path_pallas(neg_cent: jnp.ndarray,
     dtype = neg_cent.dtype
     b, t_y_max, t_x_max = neg_cent.shape
     nc = (neg_cent.astype(jnp.float32) * mask).transpose(1, 0, 2)
-    t_ys = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)
-    t_xs = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)
+    t_ys = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)[:, None]  # [B,1]
+    t_xs = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)[:, None]
 
     row_spec = pl.BlockSpec((1, b, t_x_max), lambda y: (y, 0, 0),
                             memory_space=pltpu.VMEM)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    len_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     dec = pl.pallas_call(
         _fwd_kernel,
         grid=(t_y_max,),
-        in_specs=[smem_spec, smem_spec, row_spec],
+        in_specs=[len_spec, len_spec, row_spec],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((t_y_max, b, t_x_max), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, t_x_max), jnp.float32)],
@@ -122,7 +122,7 @@ def maximum_path_pallas(neg_cent: jnp.ndarray,
     path = pl.pallas_call(
         _bwd_kernel,
         grid=(t_y_max,),
-        in_specs=[smem_spec, smem_spec, rev_spec],
+        in_specs=[len_spec, len_spec, rev_spec],
         out_specs=rev_spec,
         out_shape=jax.ShapeDtypeStruct((t_y_max, b, t_x_max), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, t_x_max), jnp.float32)],
