@@ -53,6 +53,59 @@ def check_git_hash(model_dir: str, logger):
         open(path, "w").write(cur_hash)
 
 
+def evaluate(cfg, synth, state, writer, global_step, logger):
+    """Synthesize one validation utterance (per speaker for multi-speaker)
+    to TensorBoard, plus ground truth and alignment/mel plots
+    (reference train_latest.py:256-263,275-319)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mb_istft_vits_tpu.data import TextAudioDataset
+    from mb_istft_vits_tpu.models import Synthesizer
+    from mb_istft_vits_tpu.utils import plot_alignment_to_numpy, summarize
+
+    try:
+        eval_ds = TextAudioDataset(cfg.data.validation_files, cfg.data,
+                                   seed=cfg.train.seed)
+    except (OSError, ValueError) as e:
+        logger.warning("eval skipped: %s", e)
+        return
+    if len(eval_ds) == 0 or writer is None:
+        return
+    if cfg.data.n_speakers > 1:
+        # speaker-embedding projector (reference train_latest.py:257-261)
+        emb = np.asarray(state.params_g["emb_g"]["embedding"])
+        writer.add_embedding(
+            emb, metadata=[str(i) for i in range(cfg.data.n_speakers)],
+            global_step=global_step, tag="speaker_embeddings",
+        )
+    item = eval_ds[0]
+    x = jnp.asarray(item["x"][None, :])
+    x_lengths = jnp.asarray([len(item["x"])], jnp.int32)
+    audio_dict = {"gt/audio": item["wav"]}
+    sids = (range(min(cfg.data.n_speakers, 4))
+            if cfg.data.n_speakers > 1 else [None])
+    for s in sids:
+        sid = jnp.asarray([s], jnp.int32) if s is not None else None
+        out = synth.apply(
+            {"params": state.params_g}, x, x_lengths, sid=sid,
+            max_frames=1000, method=Synthesizer.infer,
+            rngs={"noise": jax.random.PRNGKey(global_step)},
+        )
+        n = int(out.y_lengths[0]) * cfg.data.hop_length
+        key = f"gen/audio_spk_{s}" if s is not None else "gen/audio"
+        audio_dict[key] = np.asarray(out.o[0, :n, 0])
+    images = {
+        "eval/attn": plot_alignment_to_numpy(
+            np.asarray(out.attn[0, : int(out.y_lengths[0])])
+        )
+    }
+    summarize(writer, global_step, images=images, audios=audio_dict,
+              audio_sampling_rate=cfg.data.sampling_rate)
+    logger.info("eval: wrote %d audio clips", len(audio_dict))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True,
@@ -61,6 +114,14 @@ def main():
                         help="Model name (logs/<name>)")
     parser.add_argument("--max-steps", type=int, default=0,
                         help="stop after N steps (0 = epochs from config)")
+    parser.add_argument("--reset-optimizer", action="store_true",
+                        help="restore model weights but NOT optimizer state "
+                             "and re-seed the lr schedule (the reference's "
+                             "train_latest_fixed.py:117-128 behavior)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="raise on NaN/Inf in jitted computations "
+                             "(the reference's always-on "
+                             "set_detect_anomaly, train_latest.py:40)")
     args = parser.parse_args()
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
@@ -119,11 +180,27 @@ def main():
         jax.tree.map(lambda a: a[:2], first_batch),
     )
 
+    if args.debug_nans:
+        from mb_istft_vits_tpu.utils import enable_nan_debugging
+
+        enable_nan_debugging()
+
     start_step = latest_checkpoint_step(model_dir)
     if start_step is not None:
-        state = load_checkpoint(model_dir, start_step, state)
+        restored = load_checkpoint(model_dir, start_step, state)
+        if args.reset_optimizer:
+            # train_latest_fixed semantics: weights only, fresh optimizer,
+            # lr schedule re-seeded by keeping step for data order but
+            # restarting optimizer moments (reference
+            # train_latest_fixed.py:117-128)
+            state = state.replace(params_g=restored.params_g,
+                                  params_d=restored.params_d,
+                                  step=restored.step)
+        else:
+            state = restored
         if is_rank0:
-            logger.info("resumed from step %d", start_step)
+            logger.info("resumed from step %d%s", start_step,
+                        " (optimizer reset)" if args.reset_optimizer else "")
 
     step_fn = jax.jit(make_train_step(cfg, synth, disc), donate_argnums=0)
 
@@ -156,6 +233,7 @@ def main():
                     for k, v in m.items():
                         writer.add_scalar(k, v, global_step)
             if is_rank0 and global_step % cfg.train.eval_interval == 0:
+                evaluate(cfg, synth, state, writer, global_step, logger)
                 save_checkpoint(model_dir, global_step, state)
                 logger.info("saved checkpoint at %d", global_step)
             if args.max_steps and global_step >= args.max_steps:
