@@ -129,3 +129,13 @@ def test_maximum_path_pallas_interpret(rng, monkeypatch):
     )
     oracle = maximum_path_numpy(neg_cent, mask)
     np.testing.assert_array_equal(ours, oracle)
+
+
+def test_maximum_path_native_cpp(rng):
+    """C++/OpenMP host MAS (native/mas.cpp) vs the reference DP."""
+    from mb_istft_vits_tpu.ops.mas_native import maximum_path_native
+
+    neg_cent, mask = _random_mas_problem(rng, b=6, t_y=41, t_x=23)
+    ours = maximum_path_native(neg_cent, mask)
+    oracle = maximum_path_numpy(neg_cent, mask)
+    np.testing.assert_array_equal(ours, oracle)
