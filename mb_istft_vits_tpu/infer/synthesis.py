@@ -61,7 +61,7 @@ class SynthesisModule:
     """Reference SynthesisModule equivalent (synthesis_module.py:79-353)."""
 
     TEXT_BUCKETS = (32, 64, 128, 192, 256, 384)
-    FRAME_BUCKETS = (128, 256, 512, 1024, 2048)
+    FRAME_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
 
     def __init__(
         self,
@@ -128,6 +128,7 @@ class SynthesisModule:
         self._decode_jit = functools.lru_cache(maxsize=None)(
             self._build_decode
         )
+        self._probe_jit = None
 
     # ------------------------------------------------------------------
     # compiled program builders (one per static shape bucket)
@@ -192,9 +193,24 @@ class SynthesisModule:
             return jnp.asarray([0 if sid is None else int(sid)], jnp.int32)
         return None
 
-    def _frames_bucket(self, n_tokens: int, length_scale: float) -> int:
-        est = int(n_tokens * 6 * length_scale) + 32
-        return _next_bucket(est, self.FRAME_BUCKETS)
+    def _frames_bucket(self, x, x_lengths, sid, length_scale, noise_scale_w,
+                       rng) -> int:
+        """Exact output-frame bucket via a cheap jitted duration probe
+        (text encoder + duration predictor only) — avoids over-decoding
+        at a too-large frame bucket."""
+        if self._probe_jit is None:
+            def probe(params, x, x_lengths, sid, length_scale,
+                      noise_scale_w, rng):
+                return self.model.apply(
+                    {"params": params}, x, x_lengths, sid=sid,
+                    length_scale=length_scale, noise_scale_w=noise_scale_w,
+                    method=Synthesizer.predict_frames, rngs={"noise": rng},
+                )
+
+            self._probe_jit = jax.jit(probe)
+        frames = int(self._probe_jit(self.params, x, x_lengths, sid,
+                                     length_scale, noise_scale_w, rng)[0])
+        return _next_bucket(frames, self.FRAME_BUCKETS)
 
     # ------------------------------------------------------------------
     # synthesis entry points
@@ -216,8 +232,9 @@ class SynthesisModule:
         rng = (jax.random.PRNGKey(seed) if seed is not None
                else self._next_rng())
 
-        bucket = self._frames_bucket(len(ids), length_scale)
         t0 = time.perf_counter()
+        bucket = self._frames_bucket(x, x_lengths, sid_arr, length_scale,
+                                     noise_scale_w, rng)
         while True:
             fn = self._infer_jit(bucket)
             out = fn(self.params, x, x_lengths, sid_arr, noise_scale,
@@ -270,7 +287,8 @@ class SynthesisModule:
         sid_arr = self._sid(sid)
         rng = (jax.random.PRNGKey(seed) if seed is not None
                else self._next_rng())
-        bucket = self._frames_bucket(len(ids), length_scale)
+        bucket = self._frames_bucket(x, x_lengths, sid_arr, length_scale,
+                                     noise_scale_w, rng)
         while True:
             fn = self._latents_jit(bucket)
             attn, y_mask, y_lengths, (z, *_) = fn(

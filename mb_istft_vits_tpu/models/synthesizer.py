@@ -257,6 +257,30 @@ class Synthesizer(nn.Module):
         z = self.flow(z_p, y_mask, g=g, reverse=True)
         return z, z_p, m_p, logs_p, attn, y_mask, y_lengths, g
 
+    def predict_frames(
+        self,
+        x: jnp.ndarray,
+        x_lengths: jnp.ndarray,
+        sid: Optional[jnp.ndarray] = None,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 1.0,
+    ) -> jnp.ndarray:
+        """Cheap duration probe: total predicted frames per utterance
+        (text encoder + duration predictor only). Lets the serving layer
+        pick the exact output-frame bucket before the expensive decode."""
+        hx, m_p, logs_p, x_mask = self.enc_p(x, x_lengths, train=False)
+        g = self._speaker(sid)
+        if self.cfg.use_sdp:
+            logw = self.dp(hx, x_mask, g=g, reverse=True,
+                           noise_scale=noise_scale_w,
+                           noise_rng=self.make_rng("noise"))
+        else:
+            logw = self.dp(hx, x_mask, g=g)
+        w_ceil = jnp.ceil(jnp.exp(logw) * x_mask * length_scale)
+        return jnp.maximum(jnp.sum(w_ceil, axis=(1, 2)), 1.0).astype(
+            jnp.int32
+        )
+
     def infer(
         self,
         x: jnp.ndarray,
