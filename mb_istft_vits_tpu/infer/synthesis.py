@@ -198,18 +198,8 @@ class SynthesisModule:
         """Exact output-frame bucket via a cheap jitted duration probe
         (text encoder + duration predictor only) — avoids over-decoding
         at a too-large frame bucket."""
-        if self._probe_jit is None:
-            def probe(params, x, x_lengths, sid, length_scale,
-                      noise_scale_w, rng):
-                return self.model.apply(
-                    {"params": params}, x, x_lengths, sid=sid,
-                    length_scale=length_scale, noise_scale_w=noise_scale_w,
-                    method=Synthesizer.predict_frames, rngs={"noise": rng},
-                )
-
-            self._probe_jit = jax.jit(probe)
-        frames = int(self._probe_jit(self.params, x, x_lengths, sid,
-                                     length_scale, noise_scale_w, rng)[0])
+        frames = int(self._probe_jit_call(x, x_lengths, sid, length_scale,
+                                          noise_scale_w, rng)[0])
         return _next_bucket(frames, self.FRAME_BUCKETS)
 
     # ------------------------------------------------------------------
@@ -374,6 +364,79 @@ class SynthesisModule:
         dec = self._decode_jit(bucket)
         wav = np.asarray(dec(self.params, jnp.asarray(zp), self._sid(sid)))
         return wav[0, : z.shape[0] * self._samples_per_frame(), 0]
+
+    # ------------------------------------------------------------------
+    # batched offline synthesis (reference infer.ipynb cell 13: batch
+    # synthesis over a filelist) — many utterances per compiled program
+    # ------------------------------------------------------------------
+    BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        sids: Optional[List[Optional[int]]] = None,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 0.8,
+        cleaned: Optional[bool] = None,
+        seed: int = 0,
+    ) -> Tuple[List[np.ndarray], Dict[str, float]]:
+        """Synthesize a list of utterances through one compiled program per
+        (batch, text, frame) bucket triple. Returns per-utterance trimmed
+        audio and aggregate timings."""
+        t0 = time.perf_counter()
+        ids_list = [self.text_to_ids(t, cleaned) for t in texts]
+        n = len(ids_list)
+        nb = _next_bucket(n, self.BATCH_BUCKETS)
+        t_x = _next_bucket(max(len(i) for i in ids_list), self.TEXT_BUCKETS)
+        x = np.zeros((nb, t_x), np.int32)
+        x_lengths = np.ones((nb,), np.int32)
+        for i, ids in enumerate(ids_list):
+            x[i, : len(ids)] = ids
+            x_lengths[i] = len(ids)
+        x = jnp.asarray(x)
+        x_lengths = jnp.asarray(x_lengths)
+        if self.cfg.n_speakers > 0:
+            sid_arr = jnp.asarray(
+                [(s if s is not None else 0)
+                 for s in (sids or [0] * nb)] + [0] * (nb - len(sids or [])),
+                jnp.int32,
+            )[:nb]
+        else:
+            sid_arr = None
+        rng = jax.random.PRNGKey(seed)
+        frames = self._probe_jit_call(x, x_lengths, sid_arr, length_scale,
+                                      noise_scale_w, rng)
+        bucket = _next_bucket(int(frames.max()), self.FRAME_BUCKETS)
+        fn = self._infer_jit(bucket)
+        out = fn(self.params, x, x_lengths, sid_arr, noise_scale,
+                 length_scale, noise_scale_w, rng)
+        y_lens = np.asarray(out.y_lengths)
+        wavs = np.asarray(out.o[..., 0], np.float32)
+        audios = [wavs[i, : y_lens[i] * self.hop_length] for i in range(n)]
+        elapsed = time.perf_counter() - t0
+        total_audio = sum(len(a) for a in audios) / self.sampling_rate
+        return audios, {
+            "total": elapsed,
+            "audio_seconds": total_audio,
+            "rtf": elapsed / max(total_audio, 1e-9),
+            "utterances_per_sec": n / elapsed,
+        }
+
+    def _probe_jit_call(self, x, x_lengths, sid, length_scale,
+                        noise_scale_w, rng):
+        if self._probe_jit is None:
+            def probe(params, x, x_lengths, sid, length_scale,
+                      noise_scale_w, rng):
+                return self.model.apply(
+                    {"params": params}, x, x_lengths, sid=sid,
+                    length_scale=length_scale, noise_scale_w=noise_scale_w,
+                    method=Synthesizer.predict_frames, rngs={"noise": rng},
+                )
+
+            self._probe_jit = jax.jit(probe)
+        return self._probe_jit(self.params, x, x_lengths, sid, length_scale,
+                               noise_scale_w, rng)
 
     # ------------------------------------------------------------------
     # staged timings (reference models.py:698-737 parity)

@@ -139,3 +139,14 @@ def test_revoke(module):
     time.sleep(2.0)
     engine.stop()
     assert chunks == []
+
+
+def test_synthesize_batch(module):
+    texts = [TEXT, "a i u e o", "k o N n i t i w a"]
+    audios, timings = module.synthesize_batch(texts, seed=5)
+    assert len(audios) == 3
+    assert all(len(a) > 0 and np.all(np.isfinite(a)) for a in audios)
+    assert timings["utterances_per_sec"] > 0
+    # batch result matches single-utterance synthesis for the same seed?
+    # (not bit-equal: different padding; just check nonzero + sane scale)
+    assert max(np.abs(a).max() for a in audios) < 100
