@@ -291,17 +291,38 @@ class SynthesisModule:
             bucket = _next_bucket(bucket + 1, self.FRAME_BUCKETS)
         return np.asarray(z[0, :y_len]), y_len, sid
 
+    @staticmethod
+    def _best_shift(a: np.ndarray, b: np.ndarray, max_shift: int) -> int:
+        """Cross-correlation shift search between two overlap windows
+        (the reference notebooks' `find_best_shift`, infer.ipynb cell 8)."""
+        best, best_c = 0, -np.inf
+        norm_a = a - a.mean()
+        for s in range(-max_shift, max_shift + 1):
+            if s >= 0:
+                x, y = norm_a[s:], b[: len(b) - s]
+            else:
+                x, y = norm_a[: len(a) + s], b[-s:]
+            if len(x) < 8:
+                continue
+            c = float(np.dot(x, y - y.mean()))
+            if c > best_c:
+                best, best_c = s, c
+        return best
+
     def stream_from_latents(
         self,
         z: np.ndarray,
         sid: Optional[int] = None,
         chunk_frames: int = 64,
         overlap_frames: int = 8,
+        xcorr_align: bool = False,
+        max_shift: int = 32,
     ) -> Iterator[np.ndarray]:
         """Decode z chunk-by-chunk with waveform overlap-add crossfade —
         the distilled version of the reference notebooks' chunked decoding
         strategies (infer.ipynb cells 3-12) and the repaired
-        synthesize_from_shared_latents."""
+        synthesize_from_shared_latents. xcorr_align adds the notebooks'
+        cross-correlation shift search at each join (cell 8 strategy)."""
         spf = self._samples_per_frame()
         t_total = z.shape[0]
         sid_arr = self._sid(sid)
@@ -332,7 +353,13 @@ class SynthesisModule:
             if prev_tail is not None and len(head_ov) == ov_samps and len(
                 prev_tail
             ) == ov_samps:
-                crossed = prev_tail * fade_out + head_ov * fade_in
+                if xcorr_align:
+                    s = self._best_shift(prev_tail, head_ov,
+                                         min(max_shift, ov_samps // 4))
+                    head_al = np.roll(head_ov, s)
+                else:
+                    head_al = head_ov
+                crossed = prev_tail * fade_out + head_al * fade_in
                 yield crossed
             elif prev_tail is not None:
                 yield prev_tail

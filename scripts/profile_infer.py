@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Dissect single-utterance synthesis time: probe / device infer / host
+conversion, plus latents-vs-decoder split. Run on the TPU."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mb_istft_vits_tpu.infer.synthesis import SynthesisModule, _next_bucket
+
+
+def timeit(fn, n=20):
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.tree.map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+        else a, out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    module = SynthesisModule(
+        "configs/ljs_mb_istft_vits.json",
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    text = ("ðɪs ɪz ɐ tɛst ʌv ðə mʌltibænd ɪnvɜːs ʃɔːɹt taɪm fʊɹiɐ "
+            "tɹænsfɔːɹm sɪstəm fɔːɹ ɛnd tuː ɛnd spiːtʃ sɪnθəsɪs, "
+            "ɹʌnɪŋ ɒn ə tɛnsɚ pɹəʊsɛsɪŋ juːnɪt.")
+    audio, timings = module.synthesize(text, seed=0)
+    print("e2e:", timings)
+
+    ids = module.text_to_ids(text)
+    x, x_lengths = module._pad_ids(ids)
+    print(f"tokens={len(ids)} text_bucket={x.shape[1]}")
+    rng = jax.random.PRNGKey(0)
+
+    t_probe = timeit(lambda: module._probe_jit_call(
+        x, x_lengths, None, 1.0, 0.8, rng))
+    frames = int(module._probe_jit_call(x, x_lengths, None, 1.0, 0.8,
+                                        rng)[0])
+    bucket = _next_bucket(frames, module.FRAME_BUCKETS)
+    print(f"frames={frames} bucket={bucket} "
+          f"audio={frames * 256 / 22050:.2f}s")
+
+    fn = module._infer_jit(bucket)
+    t_infer = timeit(lambda: fn(module.params, x, x_lengths, None, 0.667,
+                                1.0, 0.8, rng))
+
+    lat = module._latents_jit(bucket)
+    t_lat = timeit(lambda: lat(module.params, x, x_lengths, None, 0.667,
+                               1.0, 0.8, rng))
+
+    out = fn(module.params, x, x_lengths, None, 0.667, 1.0, 0.8, rng)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        _ = np.asarray(out.o)
+    t_host = (time.perf_counter() - t0) / 20
+
+    dec = module._decode_jit(bucket)
+    z = out.latents[0]
+    t_dec = timeit(lambda: dec(module.params, z, None))
+
+    audio_s = frames * 256 / 22050
+    print(f"probe:   {t_probe*1e3:8.2f} ms")
+    print(f"infer:   {t_infer*1e3:8.2f} ms  (device rtf "
+          f"{t_infer/audio_s:.5f})")
+    print(f"latents: {t_lat*1e3:8.2f} ms")
+    print(f"decode:  {t_dec*1e3:8.2f} ms")
+    print(f"host cp: {t_host*1e3:8.2f} ms")
+    print(f"e2e rtf: {timings['rtf']:.5f}  device-only rtf: "
+          f"{(t_probe + t_infer)/audio_s:.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -150,3 +150,13 @@ def test_synthesize_batch(module):
     # batch result matches single-utterance synthesis for the same seed?
     # (not bit-equal: different padding; just check nonzero + sane scale)
     assert max(np.abs(a).max() for a in audios) < 100
+
+
+def test_chunked_decode_xcorr_align(module):
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=7)
+    full = module.infer_z_only(z, sid)
+    chunked = np.concatenate(list(module.stream_from_latents(
+        z, sid, chunk_frames=16, overlap_frames=4, xcorr_align=True)))
+    assert len(chunked) == len(full)
+    c = np.corrcoef(full, chunked)[0, 1]
+    assert c > 0.97, c
