@@ -129,6 +129,9 @@ class SynthesisModule:
             self._build_decode
         )
         self._probe_jit = None
+        # adaptive tokens->frames ratio for frame-bucket choice (seeded
+        # generously; self-tunes downward as utterances are observed)
+        self._frames_per_token = 3.0
 
     # ------------------------------------------------------------------
     # compiled program builders (one per static shape bucket)
@@ -216,6 +219,33 @@ class SynthesisModule:
         seed: Optional[int] = None,
     ):
         """(audio, z, timings) (reference synthesis_module.py:164-191)."""
+        audio, z, timings = self._synthesize_impl(
+            text, sid, noise_scale, length_scale, noise_scale_w, cleaned,
+            seed, want_z=True,
+        )
+        return audio, z, timings
+
+    def synthesize(self, text: str, sid: Optional[int] = None, **kwargs):
+        """(audio, timings) (reference synthesis_module.py:141-146)."""
+        audio, _, timings = self._synthesize_impl(text, sid, want_z=False,
+                                                  **kwargs)
+        return audio, timings
+
+    def _synthesize_impl(
+        self,
+        text: str,
+        sid: Optional[int] = None,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        noise_scale_w: float = 0.8,
+        cleaned: Optional[bool] = None,
+        seed: Optional[int] = None,
+        want_z: bool = False,
+    ):
+        """Hot path, structured to minimize host<->device round trips:
+        frame bucket from an adaptive tokens->frames ratio (no probe
+        dispatch in steady state), one infer dispatch, one device_get of
+        exactly what the caller needs."""
         ids = self.text_to_ids(text, cleaned)
         x, x_lengths = self._pad_ids(ids)
         sid_arr = self._sid(sid)
@@ -223,17 +253,26 @@ class SynthesisModule:
                else self._next_rng())
 
         t0 = time.perf_counter()
-        bucket = self._frames_bucket(x, x_lengths, sid_arr, length_scale,
-                                     noise_scale_w, rng)
+        est = int(len(ids) * self._frames_per_token * length_scale) + 16
+        bucket = _next_bucket(est, self.FRAME_BUCKETS)
         while True:
             fn = self._infer_jit(bucket)
             out = fn(self.params, x, x_lengths, sid_arr, noise_scale,
                      length_scale, noise_scale_w, rng)
-            y_len = int(out.y_lengths[0])
+            # single transfer for everything needed on the host
+            fetch = (out.o[0, :, 0], out.y_lengths)
+            if want_z:
+                fetch = fetch + (out.latents[0][0],)
+            host = jax.device_get(fetch)
+            y_len = int(host[1][0])
             if y_len < bucket or bucket == self.FRAME_BUCKETS[-1]:
                 break
             bucket = _next_bucket(bucket + 1, self.FRAME_BUCKETS)
-        audio = np.asarray(out.o[0, :, 0], np.float32)
+        # adapt the bucket estimator (decays slowly, jumps on underestimate)
+        ratio = y_len / max(len(ids) * length_scale, 1)
+        self._frames_per_token = max(self._frames_per_token * 0.995,
+                                     ratio * 1.1)
+        audio = np.asarray(host[0], np.float32)
         wav_len = y_len * self._samples_per_frame()
         audio = audio[:wav_len]
         elapsed = time.perf_counter() - t0
@@ -243,13 +282,8 @@ class SynthesisModule:
             "rtf": elapsed / max(len(audio) / self.sampling_rate, 1e-9),
             "frame_bucket": bucket,
         }
-        z = np.asarray(out.latents[0][0, :y_len])
+        z = np.asarray(host[2], np.float32)[:y_len] if want_z else None
         return audio, z, timings
-
-    def synthesize(self, text: str, sid: Optional[int] = None, **kwargs):
-        """(audio, timings) (reference synthesis_module.py:141-146)."""
-        audio, _, timings = self.synthesize_with_z(text, sid, **kwargs)
-        return audio, timings
 
     def _samples_per_frame(self) -> int:
         return self.hop_length
