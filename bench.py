@@ -37,8 +37,9 @@ def main():
             "tɹænsfɔːɹm sɪstəm fɔːɹ ɛnd tuː ɛnd spiːtʃ sɪnθəsɪs, "
             "ɹʌnɪŋ ɒn ə tɛnsɚ pɹəʊsɛsɪŋ juːnɪt.")
 
-    # warmup (compile)
-    module.synthesize(text, seed=0)
+    # warmup: compile + let the adaptive frame-bucket estimator converge
+    for i in range(3):
+        module.synthesize(text, seed=0)
     # timed runs
     rtfs = []
     for i in range(10):

@@ -268,10 +268,14 @@ class SynthesisModule:
             if y_len < bucket or bucket == self.FRAME_BUCKETS[-1]:
                 break
             bucket = _next_bucket(bucket + 1, self.FRAME_BUCKETS)
-        # adapt the bucket estimator (decays slowly, jumps on underestimate)
+        # adapt the bucket estimator: EMA toward 1.2x the observed ratio,
+        # floored at 1.1x so underestimates (which cost a re-dispatch)
+        # stay rare
         ratio = y_len / max(len(ids) * length_scale, 1)
-        self._frames_per_token = max(self._frames_per_token * 0.995,
-                                     ratio * 1.1)
+        self._frames_per_token = max(
+            ratio * 1.1,
+            0.5 * self._frames_per_token + 0.5 * ratio * 1.2,
+        )
         audio = np.asarray(host[0], np.float32)
         wav_len = y_len * self._samples_per_frame()
         audio = audio[:wav_len]
