@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Training-step throughput on the available devices (flagship config,
+synthetic batch). Reports steps/sec and utterance-seconds/sec of audio
+trained per second. Also the TPU smoke test for the full train graph
+(incl. the Pallas MAS kernel under jax.value_and_grad)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="configs/ljs_mb_istft_vits.json")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="override batch size (0 = config)")
+    parser.add_argument("--spec-frames", type=int, default=400)
+    parser.add_argument("--text-len", type=int, default=192)
+    parser.add_argument("--steps", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mb_istft_vits_tpu.config import Config
+    from mb_istft_vits_tpu.parallel import create_mesh, shard_batch
+    from mb_istft_vits_tpu.train import create_train_state, make_train_step
+
+    cfg = Config.from_json(args.config)
+    if args.batch:
+        object.__setattr__(cfg.train, "batch_size", args.batch)
+    b = args.batch or cfg.train.batch_size
+    d = cfg.data
+    rng = np.random.RandomState(0)
+    t_spec, t_x = args.spec_frames, args.text_len
+    batch = {
+        "x": jnp.asarray(rng.randint(1, cfg.model.n_vocab,
+                                     size=(b, t_x)).astype(np.int32)),
+        "x_lengths": jnp.asarray(np.full(b, t_x, np.int32)),
+        "spec": jnp.asarray((rng.randn(b, t_spec, d.filter_length // 2 + 1)
+                             ** 2).astype(np.float32)),
+        "spec_lengths": jnp.asarray(np.full(b, t_spec, np.int32)),
+        "wav": jnp.asarray(rng.uniform(
+            -0.5, 0.5, (b, t_spec * d.hop_length, 1)).astype(np.float32)),
+        "wav_lengths": jnp.asarray(np.full(b, t_spec * d.hop_length,
+                                           np.int32)),
+    }
+    state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0),
+                                            jax.tree.map(lambda a: a[:2],
+                                                         batch))
+    mesh = create_mesh()
+    batch = shard_batch(batch, mesh)
+    step = jax.jit(make_train_step(cfg, synth, disc), donate_argnums=0)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss/g/total"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s  "
+          f"loss_g={float(metrics['loss/g/total']):.3f} "
+          f"loss_d={float(metrics['loss/d/total']):.3f}")
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss/g/total"])
+    dt = (time.perf_counter() - t0) / args.steps
+    audio_s = b * t_spec * d.hop_length / d.sampling_rate
+    print(f"step time: {dt*1e3:.1f} ms  steps/s: {1/dt:.2f}  "
+          f"audio-s trained/s: {audio_s/dt:.1f}  "
+          f"(batch {b}, {t_spec} frames, {jax.device_count()} devices)")
+    for k in ("loss/g/total", "loss/d/total", "grad_norm_g"):
+        v = float(metrics[k])
+        assert np.isfinite(v), (k, v)
+    print("all finite: ok")
+
+
+if __name__ == "__main__":
+    main()
