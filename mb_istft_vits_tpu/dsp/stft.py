@@ -107,21 +107,34 @@ def stft(
     center=True matches torch.stft defaults (used by the MR-STFT loss,
     reference `stft_loss.py:23`); center=False matches the spectrogram
     front-end after its own explicit padding (`mel_processing.py:63-67`).
+
+    Framing + DFT are ONE strided convolution against the windowed real-DFT
+    basis (the reference's legacy conv formulation, `stft.py:79-142`):
+    this hits the MXU directly AND differentiates as a transposed conv —
+    crucial for the MR-STFT training losses, where a gather-based framing
+    would backprop through a serialized TPU scatter (~1000× slower).
     """
     if y.ndim == 1:
         y = y[None]
     if center:
         p = n_fft // 2
         y = jnp.pad(y, ((0, 0), (p, p)), mode=pad_mode)
-    frames = frame_signal(y, n_fft, hop_length)  # [B, F, n_fft]
     cos_b, sin_b = _dft_basis(n_fft, win_length)
-    dtype = frames.dtype
-    # HIGHEST precision: the spectrogram front-end feeds the posterior and
-    # the mel loss; TPU default (bf16) matmul precision is not enough there.
-    real = jnp.matmul(frames, jnp.asarray(cos_b, dtype),
-                      precision=jax.lax.Precision.HIGHEST)
-    imag = jnp.matmul(frames, jnp.asarray(sin_b, dtype),
-                      precision=jax.lax.Precision.HIGHEST)
+    n_bins = n_fft // 2 + 1
+    dtype = y.dtype
+    # [n_fft, 1, 2*n_bins] conv filter: frames@basis == strided conv
+    w = jnp.asarray(np.concatenate([cos_b, sin_b], axis=1), dtype)[:, None, :]
+    out = jax.lax.conv_general_dilated(
+        y[:, :, None], w,
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        # HIGHEST precision: the spectrogram front-end feeds the posterior
+        # and the mel loss; TPU-default bf16 is not enough there.
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, F, 2*n_bins]
+    real = out[..., :n_bins]
+    imag = out[..., n_bins:]
     return jnp.swapaxes(real, 1, 2), jnp.swapaxes(imag, 1, 2)
 
 

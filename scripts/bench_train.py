@@ -22,6 +22,7 @@ def main():
     parser.add_argument("--spec-frames", type=int, default=400)
     parser.add_argument("--text-len", type=int, default=192)
     parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--no-donate", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -55,11 +56,12 @@ def main():
                                                          batch))
     mesh = create_mesh()
     batch = shard_batch(batch, mesh)
-    step = jax.jit(make_train_step(cfg, synth, disc), donate_argnums=0)
+    step = jax.jit(make_train_step(cfg, synth, disc),
+                   donate_argnums=() if args.no_donate else (0,))
 
     t0 = time.perf_counter()
     state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss/g/total"])
+    jax.block_until_ready(state)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s  "
           f"loss_g={float(metrics['loss/g/total']):.3f} "
           f"loss_d={float(metrics['loss/d/total']):.3f}")
@@ -67,7 +69,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss/g/total"])
+    jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / args.steps
     audio_s = b * t_spec * d.hop_length / d.sampling_rate
     print(f"step time: {dt*1e3:.1f} ms  steps/s: {1/dt:.2f}  "
