@@ -66,12 +66,18 @@ def make_lr_schedule(cfg: Config):
 def make_optimizers(cfg: Config):
     lr = make_lr_schedule(cfg)
     b1, b2 = cfg.train.betas
-    # torch.optim.AdamW defaults: weight_decay=0.01 (train_latest.py:103-112)
-    tx_g = optax.chain(
+    # torch.optim.AdamW defaults: weight_decay=0.01 (train_latest.py:103-112).
+    # optax.flatten: run the update on ONE concatenated vector — a handful
+    # of fused kernels instead of ~2000 per-leaf kernels. On TPU this cuts
+    # generated code size by ~300 MB (critical: oversized executables
+    # thrash the device program cache) and fuses the whole update.
+    tx_g = optax.flatten(optax.chain(
         optax.clip(cfg.train.grad_clip_value),  # value clip, commons.py:146-161
         optax.adamw(lr, b1=b1, b2=b2, eps=cfg.train.eps, weight_decay=0.01),
+    ))
+    tx_d = optax.flatten(
+        optax.adamw(lr, b1=b1, b2=b2, eps=cfg.train.eps, weight_decay=0.01)
     )
-    tx_d = optax.adamw(lr, b1=b1, b2=b2, eps=cfg.train.eps, weight_decay=0.01)
     return tx_g, tx_d
 
 

@@ -59,17 +59,18 @@ def main():
     step = jax.jit(make_train_step(cfg, synth, disc),
                    donate_argnums=() if args.no_donate else (0,))
 
+    # NOTE: on the axon platform block_until_ready does not actually wait;
+    # jax.device_get is the only honest sync point.
     t0 = time.perf_counter()
     state, metrics = step(state, batch)
-    jax.block_until_ready(state)
+    lg = float(jax.device_get(metrics["loss/g/total"]))
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s  "
-          f"loss_g={float(metrics['loss/g/total']):.3f} "
-          f"loss_d={float(metrics['loss/d/total']):.3f}")
+          f"loss_g={lg:.3f}", flush=True)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(state)
+        jax.device_get(metrics["loss/g/total"])
     dt = (time.perf_counter() - t0) / args.steps
     audio_s = b * t_spec * d.hop_length / d.sampling_rate
     print(f"step time: {dt*1e3:.1f} ms  steps/s: {1/dt:.2f}  "
