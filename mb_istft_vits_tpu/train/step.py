@@ -10,12 +10,16 @@ Behavior contract: the hot loop of reference `train_latest.py:152-266` —
      grads value-clipped at 1.0, AdamW
   4. ExponentialLR decay per epoch (gamma^epoch)
 
-Everything lives in ONE jitted function; batch dim is sharded over the
-'data' mesh axis and XLA SPMD inserts the gradient all-reduces over ICI
-(replacing DDP backward hooks). The duplicated generator forward (once for
-the D step, once under the G grad) is structurally identical with the same
-rng bits, so XLA CSE folds it — matching torch's retain-graph schedule at
-the same cost.
+TPU-structural note: the step is TWO jitted programs (D-step, then G-step),
+matching the reference's two optimizer steps. Fusing them into one program
+produces a >800 MB executable that exceeds the TPU program-size sweet spot
+and runs ~1000× slower (measured: 44 s vs 0.1 s per step); each half stays
+well under the limit. The rng derivation is shared (folded from state.step)
+so both halves see the SAME posterior sample, slice, and dropout — exactly
+the retain-graph semantics of the torch trainer.
+
+Batch dims shard over the 'data' mesh axis; XLA SPMD inserts the gradient
+all-reduces over ICI (replacing DDP backward hooks).
 """
 
 from __future__ import annotations
@@ -68,9 +72,8 @@ def make_optimizers(cfg: Config):
     b1, b2 = cfg.train.betas
     # torch.optim.AdamW defaults: weight_decay=0.01 (train_latest.py:103-112).
     # optax.flatten: run the update on ONE concatenated vector — a handful
-    # of fused kernels instead of ~2000 per-leaf kernels. On TPU this cuts
-    # generated code size by ~300 MB (critical: oversized executables
-    # thrash the device program cache) and fuses the whole update.
+    # of fused kernels instead of ~2000 per-leaf kernels (cuts ~300 MB of
+    # generated TPU code).
     tx_g = optax.flatten(optax.chain(
         optax.clip(cfg.train.grad_clip_value),  # value clip, commons.py:146-161
         optax.adamw(lr, b1=b1, b2=b2, eps=cfg.train.eps, weight_decay=0.01),
@@ -123,8 +126,12 @@ def _global_norm(tree) -> jnp.ndarray:
 
 def make_train_step(cfg: Config, synth: Synthesizer,
                     disc: MultiPeriodDiscriminator):
-    """Returns train_step(state, batch) -> (state, metrics), to be wrapped
-    in jax.jit with sharded inputs."""
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    The returned callable internally runs TWO jitted programs (see module
+    docstring). Do NOT wrap it in jax.jit — that would re-fuse them into
+    one oversized executable.
+    """
     d = cfg.data
     t = cfg.train
     seg_frames = t.segment_size // d.hop_length
@@ -139,29 +146,26 @@ def make_train_step(cfg: Config, synth: Synthesizer,
             rngs=rngs,
         )
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def step_rngs(state):
         step_rng = jax.random.fold_in(state.rng, state.step)
         k_noise, k_drop, k_slice = jax.random.split(step_rng, 3)
-        rngs = {"noise": k_noise, "dropout": k_drop, "slice": k_slice}
+        return {"noise": k_noise, "dropout": k_drop, "slice": k_slice}
 
-        # ---- generator forward (for the D step) -----------------------
-        (y_hat, y_hat_mb, l_length, attn, ids_slice, x_mask, z_mask,
-         latents) = g_forward(state.params_g, batch, rngs)
-        z, z_p, m_p, logs_p, m_q, logs_q = latents
-
-        # ground-truth slices (train_latest.py:167-186)
-        mel = spec_to_mel(
-            jnp.swapaxes(batch["spec"], 1, 2), d.filter_length,
-            d.n_mel_channels, d.sampling_rate, d.mel_fmin, d.mel_fmax,
-        )  # [B, n_mels, F]
-        y_mel = slice_segments(
-            jnp.swapaxes(mel, 1, 2), ids_slice, seg_frames
-        )  # [B, seg_frames, n_mels]
-        y = slice_segments(
+    def real_slice(batch, ids_slice):
+        """Ground-truth waveform slice (train_latest.py:186)."""
+        return slice_segments(
             batch["wav"], ids_slice * d.hop_length, t.segment_size
-        )  # [B, seg, 1]
+        )
 
-        # ---- discriminator update (train_latest.py:189-197) -----------
+    # ------------------------------------------------------------------
+    # program 1: discriminator step (train_latest.py:163-197)
+    # ------------------------------------------------------------------
+    @jax.jit
+    def d_step(state: TrainState, batch):
+        rngs = step_rngs(state)
+        (y_hat, *_rest) = g_forward(state.params_g, batch, rngs)
+        ids_slice = _rest[3]
+        y = real_slice(batch, ids_slice)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
         def d_loss_fn(params_d):
@@ -177,12 +181,28 @@ def make_train_step(cfg: Config, synth: Synthesizer,
             d_grads, state.opt_state_d, state.params_d
         )
         new_params_d = optax.apply_updates(state.params_d, d_updates)
+        return new_params_d, new_opt_d, loss_disc, grad_norm_d
 
-        # ---- generator update vs updated D (train_latest.py:202-227) --
+    # ------------------------------------------------------------------
+    # program 2: generator step vs the updated D (train_latest.py:202-227)
+    # ------------------------------------------------------------------
+    @jax.jit
+    def g_step(state: TrainState, batch, new_params_d, new_opt_d,
+               loss_disc, grad_norm_d):
+        rngs = step_rngs(state)  # same fold -> same sample/slice/dropout
+        mel = spec_to_mel(
+            jnp.swapaxes(batch["spec"], 1, 2), d.filter_length,
+            d.n_mel_channels, d.sampling_rate, d.mel_fmin, d.mel_fmax,
+        )  # [B, n_mels, F]
+
         def g_loss_fn(params_g):
-            (y_hat, y_hat_mb, l_length, attn, ids_slice2, x_mask, z_mask,
+            (y_hat, y_hat_mb, l_length, attn, ids_slice, x_mask, z_mask,
              latents) = g_forward(params_g, batch, rngs)
             z, z_p, m_p, logs_p, m_q, logs_q = latents
+            y = real_slice(batch, ids_slice)
+            y_mel = slice_segments(
+                jnp.swapaxes(mel, 1, 2), ids_slice, seg_frames
+            )  # [B, seg_frames, n_mels]
             y_hat_mel = mel_spectrogram(
                 y_hat[..., 0].astype(jnp.float32), d.filter_length,
                 d.n_mel_channels, d.sampling_rate, d.hop_length,
@@ -247,5 +267,10 @@ def make_train_step(cfg: Config, synth: Synthesizer,
             rng=state.rng,
         )
         return new_state, metrics
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        new_params_d, new_opt_d, loss_disc, grad_norm_d = d_step(state, batch)
+        return g_step(state, batch, new_params_d, new_opt_d, loss_disc,
+                      grad_norm_d)
 
     return train_step

@@ -56,8 +56,7 @@ def main():
                                                          batch))
     mesh = create_mesh()
     batch = shard_batch(batch, mesh)
-    step = jax.jit(make_train_step(cfg, synth, disc),
-                   donate_argnums=() if args.no_donate else (0,))
+    step = make_train_step(cfg, synth, disc)
 
     # NOTE: on the axon platform block_until_ready does not actually wait;
     # jax.device_get is the only honest sync point.

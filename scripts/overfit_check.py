@@ -66,7 +66,7 @@ def main():
         "wav_lengths": jnp.asarray(np.full(b, t_wav, np.int32)),
     }
     state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
-    step = jax.jit(make_train_step(cfg, synth, disc), donate_argnums=0)
+    step = make_train_step(cfg, synth, disc)
 
     first_mel = None
     t0 = time.perf_counter()

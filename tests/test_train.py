@@ -60,7 +60,7 @@ def test_train_step_runs_and_updates(rng):
     cfg = tiny_config()
     batch = synth_batch(rng, cfg)
     state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
-    step = jax.jit(make_train_step(cfg, synth, disc))
+    step = make_train_step(cfg, synth, disc)
 
     p0 = jax.tree.leaves(state.params_g)[0].copy()
     metrics_hist = []
@@ -82,7 +82,7 @@ def test_train_step_multispeaker(rng):
     cfg = tiny_config(n_speakers=3)
     batch = synth_batch(rng, cfg)
     state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
-    step = jax.jit(make_train_step(cfg, synth, disc))
+    step = make_train_step(cfg, synth, disc)
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss/g/total"]))
 
@@ -99,7 +99,7 @@ def test_train_step_sharded_8_devices(rng):
 
     repl = NamedSharding(mesh, P())
     state = jax.device_put(state, repl)
-    step = jax.jit(make_train_step(cfg, synth, disc), donate_argnums=0)
+    step = make_train_step(cfg, synth, disc)
     state, metrics = step(state, sharded)
     state, metrics = step(state, sharded)
     assert np.isfinite(float(metrics["loss/g/total"]))

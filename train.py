@@ -202,7 +202,7 @@ def main():
             logger.info("resumed from step %d%s", start_step,
                         " (optimizer reset)" if args.reset_optimizer else "")
 
-    step_fn = jax.jit(make_train_step(cfg, synth, disc), donate_argnums=0)
+    step_fn = make_train_step(cfg, synth, disc)
 
     writer = None
     if is_rank0:
