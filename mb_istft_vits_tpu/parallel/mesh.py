@@ -40,7 +40,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Place a host batch onto the mesh, batch-dim sharded."""
+    """Place a host batch onto the mesh, batch-dim sharded.
+
+    Single-device meshes skip the NamedSharding commitment: committed
+    1-device SPMD inputs take a pathological dispatch path on some TPU
+    runtimes (measured ~1000× slower per step on the axon platform) and
+    buy nothing — uncommitted arrays land on the same chip.
+    """
+    if mesh.size == 1:
+        return jax.tree.map(
+            lambda x: None if x is None else jax.device_put(x), batch
+        )
     sharding = batch_sharding(mesh, axis_name)
 
     def put(x):
