@@ -6,3 +6,7 @@ from mb_istft_vits_tpu.data.dataset import (  # noqa: F401
     TextAudioDataset,
     load_filepaths_and_text,
 )
+from mb_istft_vits_tpu.data.prefetch import (  # noqa: F401
+    PrefetchIterator,
+    prefetch_epoch,
+)

@@ -38,11 +38,43 @@ def load_filepaths_and_text(filename: str, split: str = "|") -> List[List[str]]:
 
 
 def load_wav(full_path: str) -> Tuple[np.ndarray, int]:
-    """reference utils.load_wav_to_torch (utils.py:139-141)."""
+    """reference utils.load_wav_to_torch (utils.py:139-141).
+
+    Fast path: the native C++ reader (GIL-free, native/audio.cpp); falls
+    back to scipy for containers it doesn't handle."""
+    from mb_istft_vits_tpu.data import native_audio
+
+    r = native_audio.load_wav(full_path)
+    if r is not None:
+        return r
     from scipy.io.wavfile import read
 
     sampling_rate, data = read(full_path)
     return data.astype(np.float32), sampling_rate
+
+
+def _spectrogram_host(audio_norm: np.ndarray, n_fft: int, hop: int,
+                      win: int) -> np.ndarray:
+    """Host-side linear spectrogram [frames, bins] for the data loader —
+    native C++/OpenMP FFT when possible, numpy otherwise. Keeps the data
+    path off the accelerator (the reference's loader likewise runs on CPU
+    DataLoader workers, train_latest.py:85)."""
+    from mb_istft_vits_tpu.data import native_audio
+
+    spec = native_audio.spectrogram(audio_norm, n_fft, hop, win)
+    if spec is not None:
+        return spec
+    p = (n_fft - hop) // 2
+    y = np.pad(audio_norm, (p, p))
+    frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    window = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win) / win))
+    if win < n_fft:
+        left = (n_fft - win) // 2
+        window = np.pad(window, (left, n_fft - win - left))
+    return np.abs(
+        np.fft.rfft(y[idx] * window[None, :], axis=-1)
+    ).astype(np.float32)
 
 
 class TextAudioDataset:
@@ -91,16 +123,10 @@ class TextAudioDataset:
         if os.path.exists(spec_filename):
             spec = np.load(spec_filename)
         else:
-            import jax.numpy as jnp
-
-            from mb_istft_vits_tpu.dsp import spectrogram
-
-            spec = np.asarray(
-                spectrogram(
-                    jnp.asarray(audio_norm[None, :]), cfg.filter_length,
-                    cfg.hop_length, cfg.win_length,
-                )[0]
-            ).T  # [F, bins]
+            spec = _spectrogram_host(
+                audio_norm, cfg.filter_length, cfg.hop_length,
+                cfg.win_length,
+            )  # [F, bins]
             try:
                 np.save(spec_filename, spec)
             except OSError:

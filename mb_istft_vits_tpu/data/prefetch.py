@@ -1,0 +1,65 @@
+"""Threaded batch prefetcher — the reference's `DataLoader(num_workers=8,
+pin_memory=True)` equivalent (train_latest.py:85).
+
+Workers assemble batches (wav read + spectrogram + pad) in parallel with
+the accelerator step; the hot loader calls are GIL-free C (native/audio.cpp
+via ctypes) or numpy, so threads give true overlap without the process
+boundary torch needs. An in-order bounded window keeps at most
+`prefetch_depth` batches in flight/buffered, bounding host memory the way
+pinned-buffer DataLoaders do.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+from mb_istft_vits_tpu.data.dataset import BucketedBatcher
+
+
+class PrefetchIterator:
+    """Iterate batches of one epoch with worker-thread prefetch, preserving
+    the batcher's epoch-seeded order."""
+
+    def __init__(self, batcher: BucketedBatcher, epoch: int,
+                 num_workers: int = 8, prefetch_depth: int = 4):
+        self._batcher = batcher
+        self._plan: List[Tuple[int, List[int]]] = batcher.epoch_batches(epoch)
+        self._pool = ThreadPoolExecutor(max_workers=num_workers,
+                                        thread_name_prefix="loader")
+        self._depth = max(1, prefetch_depth)
+
+    def __len__(self) -> int:
+        return len(self._plan)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        futures = []
+        submitted = 0
+        try:
+            while submitted < len(self._plan) and len(futures) < self._depth:
+                bi, idx = self._plan[submitted]
+                futures.append(self._pool.submit(self._batcher.make_batch,
+                                                 bi, idx))
+                submitted += 1
+            for i in range(len(self._plan)):
+                batch = futures.pop(0).result()
+                if submitted < len(self._plan):
+                    bi, idx = self._plan[submitted]
+                    futures.append(self._pool.submit(
+                        self._batcher.make_batch, bi, idx))
+                    submitted += 1
+                yield batch
+        finally:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+def prefetch_epoch(batcher: BucketedBatcher, epoch: int,
+                   num_workers: int = 8,
+                   prefetch_depth: int = 4) -> PrefetchIterator:
+    """Reference DataLoader stand-in: iterate epoch batches with
+    `num_workers` loader threads and a bounded prefetch window."""
+    return PrefetchIterator(batcher, epoch, num_workers, prefetch_depth)

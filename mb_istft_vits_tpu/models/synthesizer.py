@@ -192,22 +192,26 @@ class Synthesizer(nn.Module):
         neg_cent = neg_cent1 + neg_cent2 + neg_cent3 + neg_cent4
 
         attn_mask = y_mask[:, :, :1] * jnp.swapaxes(x_mask, 1, 2)  # [B,Ty,Tx]
-        attn = jax.lax.stop_gradient(
+        attn32 = jax.lax.stop_gradient(
             maximum_path(neg_cent, attn_mask.astype(jnp.float32))
-        ).astype(z_p.dtype)
+        )
+        attn = attn32.astype(z_p.dtype)
 
-        w = jnp.sum(attn, axis=1, keepdims=False)[..., None]  # [B, T_x, 1]
+        # duration target/loss in fp32 regardless of compute dtype (the
+        # reference keeps losses out of autocast, train_latest.py:190,205)
+        w = jnp.sum(attn32, axis=1, keepdims=False)[..., None]  # [B, T_x, 1]
+        x_mask32 = x_mask.astype(jnp.float32)
         if cfg.use_sdp:
             l_length = self.dp(
-                hx, x_mask, w=w, g=g, noise_rng=self.make_rng("noise"),
-                train=train,
-            )
-            l_length = l_length / jnp.sum(x_mask)
+                hx, x_mask, w=w.astype(hx.dtype), g=g,
+                noise_rng=self.make_rng("noise"), train=train,
+            ).astype(jnp.float32)
+            l_length = l_length / jnp.sum(x_mask32)
         else:
-            logw_ = jnp.log(w + 1e-6) * x_mask
-            logw = self.dp(hx, x_mask, g=g, train=train)
+            logw_ = jnp.log(w + 1e-6) * x_mask32
+            logw = self.dp(hx, x_mask, g=g, train=train).astype(jnp.float32)
             l_length = jnp.sum((logw - logw_) ** 2, axis=(1, 2)) / jnp.sum(
-                x_mask
+                x_mask32
             )
 
         # expand prior (reference models.py:690-691)

@@ -124,24 +124,53 @@ def _global_norm(tree) -> jnp.ndarray:
                         for l in leaves))
 
 
+def _cast_floating(tree, dtype):
+    """Cast floating leaves of a pytree (params or outputs) to `dtype`.
+
+    Used *inside* the grad function, so autodiff records the cast and the
+    cotangents are cast back — grads arrive in the master-param dtype
+    (fp32), exactly the torch-amp master-weights semantics."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        tree,
+    )
+
+
 def make_train_step(cfg: Config, synth: Synthesizer,
-                    disc: MultiPeriodDiscriminator):
+                    disc: MultiPeriodDiscriminator,
+                    compute_dtype=None):
     """Returns train_step(state, batch) -> (state, metrics).
 
     The returned callable internally runs TWO jitted programs (see module
     docstring). Do NOT wrap it in jax.jit — that would re-fuse them into
     one oversized executable.
+
+    Mixed precision (the reference's `fp16_run` autocast+GradScaler,
+    train_latest.py:127,163,202 — bf16 on TPU, so no loss scaling):
+    master params, optimizer state and every loss stay fp32; the G/D
+    forward+backward compute runs in `compute_dtype`. Enabled when
+    cfg.train.fp16_run is true or compute_dtype is passed explicitly.
     """
     d = cfg.data
     t = cfg.train
     seg_frames = t.segment_size // d.hop_length
     tx_g, tx_d = make_optimizers(cfg)
     is_mb = cfg.model.mb_istft_vits
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if t.fp16_run else jnp.float32
+    mixed = compute_dtype != jnp.float32
+
+    def cast_c(tree):
+        return _cast_floating(tree, compute_dtype) if mixed else tree
+
+    def cast32(tree):
+        return _cast_floating(tree, jnp.float32) if mixed else tree
 
     def g_forward(params_g, batch, rngs):
         return synth.apply(
-            {"params": params_g},
-            batch["x"], batch["x_lengths"], batch["spec"],
+            {"params": cast_c(params_g)},
+            batch["x"], batch["x_lengths"], cast_c(batch["spec"]),
             batch["spec_lengths"], sid=batch.get("sid"), train=True,
             rngs=rngs,
         )
@@ -169,8 +198,12 @@ def make_train_step(cfg: Config, synth: Synthesizer,
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
         def d_loss_fn(params_d):
-            y_d_r, y_d_g, _, _ = disc.apply({"params": params_d}, y, y_hat_sg)
-            loss_disc, r_losses, g_losses = discriminator_loss(y_d_r, y_d_g)
+            y_d_r, y_d_g, _, _ = disc.apply(
+                {"params": cast_c(params_d)}, cast_c(y), y_hat_sg
+            )
+            loss_disc, r_losses, g_losses = discriminator_loss(
+                cast32(y_d_r), cast32(y_d_g)
+            )
             return loss_disc, (r_losses, g_losses)
 
         (loss_disc, _), d_grads = jax.value_and_grad(
@@ -209,23 +242,25 @@ def make_train_step(cfg: Config, synth: Synthesizer,
                 d.win_length, d.mel_fmin, d.mel_fmax,
             )  # [B, n_mels, seg_frames]
             y_d_r, y_d_g, fmap_r, fmap_g = disc.apply(
-                {"params": new_params_d}, y, y_hat
+                {"params": cast_c(new_params_d)}, cast_c(y), y_hat
             )
             loss_dur = jnp.sum(l_length.astype(jnp.float32))
             loss_mel = (
                 jnp.mean(jnp.abs(jnp.swapaxes(y_mel, 1, 2) - y_hat_mel))
                 * t.c_mel
             )
-            loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, z_mask) * t.c_kl
-            loss_fm = feature_loss(fmap_r, fmap_g)
-            loss_gen, _ = generator_loss(y_d_g)
+            loss_kl = kl_loss(*cast32((z_p, logs_q, m_p, logs_p, z_mask))
+                              ) * t.c_kl
+            loss_fm = feature_loss(cast32(fmap_r), cast32(fmap_g))
+            loss_gen, _ = generator_loss(cast32(y_d_g))
             if is_mb:
                 from mb_istft_vits_tpu.dsp.pqmf import PQMFBank
 
                 pqmf = PQMFBank(subbands=cfg.model.subbands)
                 y_mb = pqmf.analysis(y.astype(jnp.float32))
                 loss_subband = subband_stft_loss(
-                    y_mb, y_hat_mb, t.fft_sizes, t.hop_sizes, t.win_lengths
+                    y_mb, cast32(y_hat_mb), t.fft_sizes, t.hop_sizes,
+                    t.win_lengths
                 )
             else:
                 loss_subband = jnp.asarray(0.0)

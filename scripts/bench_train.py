@@ -23,6 +23,8 @@ def main():
     parser.add_argument("--text-len", type=int, default=192)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--no-donate", action="store_true")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 mixed-precision compute (fp16_run)")
     args = parser.parse_args()
 
     import jax
@@ -33,6 +35,8 @@ def main():
     from mb_istft_vits_tpu.train import create_train_state, make_train_step
 
     cfg = Config.from_json(args.config)
+    if args.bf16:
+        object.__setattr__(cfg.train, "fp16_run", True)
     if args.batch:
         object.__setattr__(cfg.train, "batch_size", args.batch)
     b = args.batch or cfg.train.batch_size

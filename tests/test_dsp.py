@@ -165,3 +165,28 @@ def test_mel_spectrogram_shapes(rng):
     spec = spectrogram(jnp.asarray(y), 1024, 256, 1024)
     mel2 = np.asarray(spec_to_mel(spec, 1024, 80, 22050, 0.0, None))
     np.testing.assert_allclose(mel, mel2, atol=1e-5)
+
+
+def test_mel_cepstral_distortion():
+    """MCD: identical->0; quiet additive noise -> small but nonzero;
+    scipy-DCT cross-check of the cepstra."""
+    from mb_istft_vits_tpu.utils.metrics import (
+        _dct_matrix,
+        mel_cepstral_distortion,
+    )
+
+    rng = np.random.RandomState(0)
+    # broadband signal: every mel band carries energy, so the log floor
+    # does not dominate (a pure tone would make MCD blow up by design)
+    a = rng.randn(22050).astype(np.float32) * 0.3
+    assert mel_cepstral_distortion(a, a, 22050) == 0.0
+    b = a * 1.001 + rng.randn(len(a)).astype(np.float32) * 1e-4
+    mcd = mel_cepstral_distortion(a, b, 22050)
+    assert 0.0 < mcd < 1.0, mcd
+
+    from scipy.fftpack import dct as scipy_dct
+
+    x = rng.randn(80)
+    ours = _dct_matrix(13, 80) @ x
+    ref = scipy_dct(x, type=2, norm="ortho")[:13]
+    np.testing.assert_allclose(ours, ref, atol=1e-10)

@@ -130,6 +130,53 @@ def test_dataset_and_batcher(wav_dataset):
     assert b0 == b1
 
 
+def test_native_audio_loader(wav_dataset, rng):
+    """C++ loader (native/audio.cpp): wav parity vs scipy, spectrogram
+    parity vs the on-device DSP (reference data_utils.py:78-86 path)."""
+    from scipy.io.wavfile import read
+
+    from mb_istft_vits_tpu.data import native_audio
+
+    assert native_audio.available()
+    wav_path = open(wav_dataset).readline().split("|")[0]
+    y, sr = native_audio.load_wav(wav_path)
+    sr_ref, y_ref = read(wav_path)
+    assert sr == sr_ref
+    np.testing.assert_array_equal(y, y_ref.astype(np.float32))
+
+    import jax.numpy as jnp
+
+    from mb_istft_vits_tpu.dsp import spectrogram
+
+    norm = y / 32768.0
+    spec_c = native_audio.spectrogram(norm, 256, 64, 256)
+    spec_j = np.asarray(
+        spectrogram(jnp.asarray(norm[None]), 256, 64, 256)[0]
+    ).T
+    assert spec_c.shape == spec_j.shape
+    np.testing.assert_allclose(spec_c, spec_j, atol=2e-4)
+
+
+def test_prefetch_iterator_matches_sync(wav_dataset):
+    """Threaded prefetch yields exactly the synchronous epoch batches."""
+    from mb_istft_vits_tpu.data import prefetch_epoch
+
+    cfg = DataConfig(
+        training_files=wav_dataset, sampling_rate=8000, filter_length=256,
+        hop_length=64, win_length=256, text_module="text_JP",
+        cleaned_text=True, add_blank=True, max_wav_value=32768.0,
+    )
+    ds = TextAudioDataset(wav_dataset, cfg)
+    batcher = BucketedBatcher(ds, batch_size=2,
+                              boundaries=[16, 128, 256, 512])
+    sync = list(batcher.iter_epoch(1))
+    pre = list(prefetch_epoch(batcher, 1, num_workers=3, prefetch_depth=2))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_batcher_rank_partition(wav_dataset):
     cfg = DataConfig(
         training_files=wav_dataset, sampling_rate=8000, filter_length=256,

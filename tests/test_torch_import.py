@@ -142,6 +142,12 @@ def test_torch_checkpoint_roundtrip_inference(tmp_path, rng, monkeypatch,
     # spectral closeness (the fidelity contract): relative L2 < 1%
     rel = np.linalg.norm(o_ours[:n] - o_r[:n]) / (np.linalg.norm(o_r[:n]) + 1e-9)
     assert rel < 0.01, rel
+    # the BASELINE.md north-star: MCD vs the torch reference < 0.5 dB
+    from mb_istft_vits_tpu.utils.metrics import mel_cepstral_distortion
+
+    mcd = mel_cepstral_distortion(o_ours[:n], o_r[:n], 22050,
+                                  n_fft=512, hop_length=128, win_length=512)
+    assert mcd < 0.5, mcd
 
 
 def test_torch_discriminator_import(tmp_path, rng, monkeypatch):

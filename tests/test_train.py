@@ -78,6 +78,26 @@ def test_train_step_runs_and_updates(rng):
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+def test_train_step_bf16_mixed_precision(rng):
+    """fp16_run (bf16 on TPU): master params/losses fp32, compute bf16
+    (reference train_latest.py:127,163,202 autocast semantics)."""
+    cfg = tiny_config()
+    object.__setattr__(cfg.train, "fp16_run", True)
+    batch = synth_batch(rng, cfg)
+    state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, synth, disc)
+    p0 = jax.tree.leaves(state.params_g)[0].copy()
+    state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    # master params stay fp32 and still update
+    for leaf in jax.tree.leaves(state.params_g):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    assert not np.allclose(np.asarray(p0),
+                           np.asarray(jax.tree.leaves(state.params_g)[0]))
+
+
 def test_train_step_multispeaker(rng):
     cfg = tiny_config(n_speakers=3)
     batch = synth_batch(rng, cfg)

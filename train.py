@@ -133,7 +133,11 @@ def main():
     import numpy as np
 
     from mb_istft_vits_tpu.config import Config
-    from mb_istft_vits_tpu.data import BucketedBatcher, TextAudioDataset
+    from mb_istft_vits_tpu.data import (
+        BucketedBatcher,
+        TextAudioDataset,
+        prefetch_epoch,
+    )
     from mb_istft_vits_tpu.parallel import create_mesh, shard_batch
     from mb_istft_vits_tpu.train import create_train_state, make_train_step
     from mb_istft_vits_tpu.train.checkpoint import (
@@ -217,7 +221,10 @@ def main():
     t_last = time.perf_counter()
     epoch0 = global_step // max(steps_per_epoch, 1)
     for epoch in range(epoch0, cfg.train.epochs):
-        for batch in batcher.iter_epoch(epoch):
+        # loader-thread prefetch overlaps batch assembly (wav read + native
+        # spectrogram) with the device step — the reference's
+        # DataLoader(num_workers=8) role (train_latest.py:85)
+        for batch in prefetch_epoch(batcher, epoch, num_workers=8):
             sharded = shard_batch(batch, mesh)
             state, metrics = step_fn(state, sharded)
             global_step += 1
