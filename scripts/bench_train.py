@@ -70,10 +70,43 @@ def main():
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s  "
           f"loss_g={lg:.3f}", flush=True)
 
+    # split timing: D-program vs G-program (the two jitted halves)
+    try:
+        # time the halves by pulling d_step/g_step out of the train_step
+        # closure (private but stable in-repo)
+        cells = {getattr(c.cell_contents, "__name__", None): c.cell_contents
+                 for c in step.__closure__ or ()}
+        d_prog, g_prog = cells.get("d_step"), cells.get("g_step")
+        if d_prog is not None:
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out = d_prog(state, batch)
+                jax.device_get(out[2])
+            print(f"  d_step: {(time.perf_counter()-t0)/args.steps*1e3:.1f} ms",
+                  flush=True)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                _, m = g_prog(state, batch, *out)
+                jax.device_get(m["loss/g/total"])
+            print(f"  g_step: {(time.perf_counter()-t0)/args.steps*1e3:.1f} ms",
+                  flush=True)
+    except Exception as e:  # diagnostics only — never fail the bench
+        print(f"  (split timing unavailable: {e})", flush=True)
+
+    # per-step sync (upper bound: adds one tunnel round trip per step)
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, batch)
         jax.device_get(metrics["loss/g/total"])
+    dt_sync = (time.perf_counter() - t0) / args.steps
+    print(f"step time (sync each): {dt_sync*1e3:.1f} ms", flush=True)
+
+    # steady state: queue all steps, one final sync — how training actually
+    # runs (metrics fetched every log_interval=200 steps, train.py)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch)
+    jax.device_get(metrics["loss/g/total"])
     dt = (time.perf_counter() - t0) / args.steps
     audio_s = b * t_spec * d.hop_length / d.sampling_rate
     print(f"step time: {dt*1e3:.1f} ms  steps/s: {1/dt:.2f}  "
