@@ -50,11 +50,14 @@ def get_synthesis_module_instance(config_path: str,
     return _instances[key]
 
 
-def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+def _next_bucket(n: int, buckets: Sequence[int], granule: int = 64) -> int:
+    """Smallest bucket >= n; beyond the table, round up to `granule` so
+    arbitrarily long inputs still get a (fresh) compiled program instead of
+    crashing or truncating."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    return -(-n // granule) * granule
 
 
 class SynthesisModule:
@@ -62,6 +65,10 @@ class SynthesisModule:
 
     TEXT_BUCKETS = (32, 64, 128, 192, 256, 384)
     FRAME_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+    # inputs beyond the tables compile fresh 64-granule programs instead of
+    # crashing (text) or silently truncating (frames); frames stop growing
+    # at MAX_FRAMES (~3 min of audio at 22.05 kHz/hop 256)
+    MAX_FRAMES = 16384
 
     def __init__(
         self,
@@ -70,7 +77,12 @@ class SynthesisModule:
         params=None,
         seed: int = 0,
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis. Single-
+        utterance calls stay single-device (latency path); synthesize_batch
+        shards its batch over the mesh so offline synthesis fans out across
+        chips via XLA SPMD (SURVEY.md §5.7 plan)."""
         self.config = Config.from_json(config_path)
         self.cfg = self.config.model
         self.data_cfg = self.config.data
@@ -116,6 +128,13 @@ class SynthesisModule:
                 lambda a: a.astype(compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
                 self.params,
+            )
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            from mb_istft_vits_tpu.parallel import replicated_sharding
+
+            self.params = jax.device_put(
+                self.params, replicated_sharding(self.mesh)
             )
 
         self.hop_length = self.data_cfg.hop_length
@@ -272,9 +291,12 @@ class SynthesisModule:
                 fetch = fetch + (out.latents[0][0],)
             host = jax.device_get(fetch)
             y_len = int(host[1][0])
-            if y_len < bucket or bucket == self.FRAME_BUCKETS[-1]:
+            # y_len == bucket means the decode saturated (max_frames clamp,
+            # models.py:719-722 analog): grow the bucket and retry; hard
+            # cap keeps a pathological duration blow-up bounded
+            if y_len < bucket or bucket >= self.MAX_FRAMES:
                 break
-            bucket = _next_bucket(bucket + 1, self.FRAME_BUCKETS)
+            bucket = _next_bucket(int(bucket * 3 / 2), self.FRAME_BUCKETS)
         # adapt the bucket estimator: EMA toward 1.2x the observed ratio,
         # floored at 1.1x so underestimates (which cost a re-dispatch)
         # stay rare
@@ -331,9 +353,9 @@ class SynthesisModule:
                 length_scale, noise_scale_w, rng,
             )
             y_len = int(y_lengths[0])
-            if y_len < bucket or bucket == self.FRAME_BUCKETS[-1]:
+            if y_len < bucket or bucket >= self.MAX_FRAMES:
                 break
-            bucket = _next_bucket(bucket + 1, self.FRAME_BUCKETS)
+            bucket = _next_bucket(int(bucket * 3 / 2), self.FRAME_BUCKETS)
         return np.asarray(z[0, :y_len]), y_len, sid
 
     @staticmethod
@@ -459,7 +481,10 @@ class SynthesisModule:
         t0 = time.perf_counter()
         ids_list = [self.text_to_ids(t, cleaned) for t in texts]
         n = len(ids_list)
-        nb = _next_bucket(n, self.BATCH_BUCKETS)
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        nb = _next_bucket(max(n, n_dev), self.BATCH_BUCKETS)
+        if nb % n_dev:  # pad to a mesh-divisible batch
+            nb += n_dev - nb % n_dev
         t_x = _next_bucket(max(len(i) for i in ids_list), self.TEXT_BUCKETS)
         x = np.zeros((nb, t_x), np.int32)
         x_lengths = np.ones((nb,), np.int32)
@@ -476,6 +501,14 @@ class SynthesisModule:
             )[:nb]
         else:
             sid_arr = None
+        if self.mesh is not None:
+            from mb_istft_vits_tpu.parallel import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            x = jax.device_put(x, sh)
+            x_lengths = jax.device_put(x_lengths, sh)
+            if sid_arr is not None:
+                sid_arr = jax.device_put(sid_arr, sh)
         rng = jax.random.PRNGKey(seed)
         frames = self._probe_jit_call(x, x_lengths, sid_arr, length_scale,
                                       noise_scale_w, rng)

@@ -152,6 +152,42 @@ def test_synthesize_batch(module):
     assert max(np.abs(a).max() for a in audios) < 100
 
 
+def test_synthesize_text_beyond_buckets(module):
+    """Text longer than the largest TEXT_BUCKET must synthesize (fresh
+    64-granule program), not crash or truncate."""
+    long_text = " ".join(["k o N n i t i w a"] * 6)  # > 64 tokens w/ blanks
+    ids = module.text_to_ids(long_text)
+    assert len(ids) > max(module.TEXT_BUCKETS)
+    audio, timings = module.synthesize(long_text, seed=0)
+    assert len(audio) > 0 and np.all(np.isfinite(audio))
+
+
+def test_synthesize_batch_multichip(module, tmp_path):
+    """Batched synthesis sharded over a 4-device mesh matches the
+    single-device result for the same seed (offline fan-out over ICI,
+    SURVEY.md §5.7 plan)."""
+    import jax
+
+    assert jax.device_count() >= 4
+    from mb_istft_vits_tpu.infer.synthesis import SynthesisModule
+    from mb_istft_vits_tpu.parallel import create_mesh
+
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(TINY_CONFIG))
+    sharded = SynthesisModule(str(cfg_path), params=module.params,
+                              mesh=create_mesh(4))
+    sharded.TEXT_BUCKETS = module.TEXT_BUCKETS
+    sharded.FRAME_BUCKETS = module.FRAME_BUCKETS
+    texts = [TEXT, "a i u e o", "k o N n i t i w a", "t e s u t o", TEXT]
+    a_single, _ = module.synthesize_batch(texts, seed=5)
+    a_mesh, timings = sharded.synthesize_batch(texts, seed=5)
+    assert len(a_mesh) == len(a_single) == 5
+    for a, b in zip(a_single, a_mesh):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, atol=5e-4)
+    assert timings["utterances_per_sec"] > 0
+
+
 def test_chunked_decode_xcorr_align(module):
     z, y_len, sid = module.prepare_shared_latents(TEXT, seed=7)
     full = module.infer_z_only(z, sid)
