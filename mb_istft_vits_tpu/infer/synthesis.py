@@ -148,9 +148,12 @@ class SynthesisModule:
             self._build_decode
         )
         self._probe_jit = None
-        # adaptive tokens->frames ratio for frame-bucket choice (seeded
-        # generously; self-tunes downward as utterances are observed)
+        # adaptive tokens->frames ratio for frame-bucket choice; until the
+        # first real observation the exact duration probe picks the bucket
+        # (a mis-seeded ratio would compile a needlessly large program —
+        # minutes of XLA time at cold start for ~4 ms of probe)
         self._frames_per_token = 3.0
+        self._ratio_observed = False
 
     # ------------------------------------------------------------------
     # compiled program builders (one per static shape bucket)
@@ -278,8 +281,12 @@ class SynthesisModule:
                else self._next_rng())
 
         t0 = time.perf_counter()
-        est = int(len(ids) * self._frames_per_token * length_scale) + 16
-        bucket = _next_bucket(est, self.FRAME_BUCKETS)
+        if self._ratio_observed:
+            est = int(len(ids) * self._frames_per_token * length_scale) + 16
+            bucket = _next_bucket(est, self.FRAME_BUCKETS)
+        else:
+            bucket = self._frames_bucket(x, x_lengths, sid_arr, length_scale,
+                                         noise_scale_w, rng)
         while True:
             fn = self._infer_jit(bucket)
             out, pcm16 = fn(self.params, x, x_lengths, sid_arr, noise_scale,
@@ -301,10 +308,14 @@ class SynthesisModule:
         # floored at 1.1x so underestimates (which cost a re-dispatch)
         # stay rare
         ratio = y_len / max(len(ids) * length_scale, 1)
-        self._frames_per_token = max(
-            ratio * 1.1,
-            0.5 * self._frames_per_token + 0.5 * ratio * 1.2,
-        )
+        if self._ratio_observed:
+            self._frames_per_token = max(
+                ratio * 1.1,
+                0.5 * self._frames_per_token + 0.5 * ratio * 1.2,
+            )
+        else:
+            self._frames_per_token = ratio * 1.2
+            self._ratio_observed = True
         audio = np.asarray(host[0], np.float32) / 32767.0
         wav_len = y_len * self._samples_per_frame()
         audio = audio[:wav_len]

@@ -16,14 +16,19 @@ import jax.numpy as jnp
 from mb_istft_vits_tpu.infer.synthesis import SynthesisModule, _next_bucket
 
 
+def _sync(out):
+    """Honest sync: block_until_ready does NOT wait on the axon platform;
+    fetching one element (device_get) is the only real sync point."""
+    leaves = [a for a in jax.tree.leaves(out) if hasattr(a, "dtype")]
+    jax.device_get(leaves[-1].ravel()[:1])
+
+
 def timeit(fn, n=20):
-    fn()  # warm
+    _sync(fn())  # warm/compile
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    jax.tree.map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
-        else a, out)
+    _sync(out)  # device executes the queue serially; drain = n * device time
     return (time.perf_counter() - t0) / n
 
 
@@ -60,10 +65,10 @@ def main():
     t_lat = timeit(lambda: lat(module.params, x, x_lengths, None, 0.667,
                                1.0, 0.8, rng))
 
-    out = fn(module.params, x, x_lengths, None, 0.667, 1.0, 0.8, rng)
+    out, pcm16 = fn(module.params, x, x_lengths, None, 0.667, 1.0, 0.8, rng)
     t0 = time.perf_counter()
     for _ in range(20):
-        _ = np.asarray(out.o)
+        _ = np.asarray(pcm16)  # D2H of the int16 audio
     t_host = (time.perf_counter() - t0) / 20
 
     dec = module._decode_jit(bucket)
