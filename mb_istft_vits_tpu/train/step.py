@@ -218,8 +218,11 @@ def make_train_step(cfg: Config, synth: Synthesizer,
 
     # ------------------------------------------------------------------
     # program 2: generator step vs the updated D (train_latest.py:202-227)
+    # state and the D-step outputs are consumed here (nothing reads them
+    # afterwards), so donate their buffers: the optimizer update writes
+    # in place instead of copying ~2x the parameter+moment memory per step
     # ------------------------------------------------------------------
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
     def g_step(state: TrainState, batch, new_params_d, new_opt_d,
                loss_disc, grad_norm_d):
         rngs = step_rngs(state)  # same fold -> same sample/slice/dropout

@@ -84,12 +84,10 @@ def main():
                 jax.device_get(out[2])
             print(f"  d_step: {(time.perf_counter()-t0)/args.steps*1e3:.1f} ms",
                   flush=True)
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                _, m = g_prog(state, batch, *out)
-                jax.device_get(m["loss/g/total"])
-            print(f"  g_step: {(time.perf_counter()-t0)/args.steps*1e3:.1f} ms",
-                  flush=True)
+            # g_step donates its inputs, so it cannot be re-run on the same
+            # state; its device time is reported as (sync-each step time -
+            # d_step) below instead. (Feeding per-leaf copies was tried and
+            # is itself pathological over the tunnel: ~4000 tiny dispatches.)
     except Exception as e:  # diagnostics only — never fail the bench
         print(f"  (split timing unavailable: {e})", flush=True)
 
@@ -99,6 +97,7 @@ def main():
         state, metrics = step(state, batch)
         jax.device_get(metrics["loss/g/total"])
     dt_sync = (time.perf_counter() - t0) / args.steps
+    # derived g_step device time ≈ dt_sync - d_step - one tunnel RTT
     print(f"step time (sync each): {dt_sync*1e3:.1f} ms", flush=True)
 
     # steady state: queue all steps, one final sync — how training actually
