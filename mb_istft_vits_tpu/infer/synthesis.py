@@ -410,18 +410,36 @@ class SynthesisModule:
         fade_in = np.linspace(0.0, 1.0, ov_samps, dtype=np.float32)
         fade_out = 1.0 - fade_in
 
-        prev_tail: Optional[np.ndarray] = None
+        # plan all windows up front, then run a one-deep pipeline: chunk
+        # i+1 is dispatched before chunk i's result is fetched, so device
+        # compute and D2H transfer overlap (time-to-next-chunk is
+        # max(compute, fetch) instead of their sum — this is what makes
+        # streaming viable over a high-RTT dispatch link)
+        plan: List[Tuple[int, int, int]] = []
         pos = 0
         while pos < t_total:
-            lo = max(0, pos - overlap_frames)
-            hi = min(t_total, pos + chunk_frames + overlap_frames)
+            plan.append((pos,
+                         max(0, pos - overlap_frames),
+                         min(t_total, pos + chunk_frames + overlap_frames)))
+            pos += chunk_frames
+
+        def dispatch(i: int):
+            _, lo, hi = plan[i]
             window = np.zeros(
                 (1, chunk_frames + 2 * overlap_frames, z.shape[-1]),
                 np.float32,
             )
             window[0, : hi - lo] = z[lo:hi]
-            wav = np.asarray(dec(self.params, jnp.asarray(window),
-                                 sid_arr))[0, :, 0]
+            return dec(self.params, jnp.asarray(window), sid_arr)
+
+        if not plan:
+            return
+        prev_tail: Optional[np.ndarray] = None
+        pending = dispatch(0)
+        for i, (pos, lo, hi) in enumerate(plan):
+            nxt = dispatch(i + 1) if i + 1 < len(plan) else None
+            wav = np.asarray(pending)[0, :, 0]
+            pending = nxt
             wav = wav[: (hi - lo) * spf]
             # valid region of this chunk inside `wav`
             start = (pos - lo) * spf
@@ -450,7 +468,6 @@ class SynthesisModule:
             else:
                 yield body
                 prev_tail = None
-            pos += chunk_frames
         if prev_tail is not None:
             yield prev_tail
 

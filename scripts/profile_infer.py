@@ -85,6 +85,26 @@ def main():
     print(f"e2e rtf: {timings['rtf']:.5f}  device-only rtf: "
           f"{(t_probe + t_infer)/audio_s:.5f}")
 
+    # streaming: time-to-first-audio + chunk cadence (pipelined decode)
+    t0 = time.perf_counter()
+    z, y_len, sid = module.prepare_shared_latents(text, seed=0)
+    t_latents = time.perf_counter() - t0
+    for warm in range(2):  # compile the chunk program
+        list(module.stream_from_latents(z[:96], sid, chunk_frames=64,
+                                        overlap_frames=8))
+    t0 = time.perf_counter()
+    marks = []
+    total = 0
+    for chunk in module.stream_from_latents(z, sid, chunk_frames=64,
+                                            overlap_frames=8):
+        total += len(chunk)
+        marks.append(time.perf_counter() - t0)
+    audio_total = total / module.sampling_rate
+    print(f"stream: latents {t_latents*1e3:.1f} ms, first audio "
+          f"+{marks[0]*1e3:.1f} ms, {len(marks)} chunks in "
+          f"{marks[-1]*1e3:.1f} ms ({audio_total:.2f}s audio, "
+          f"stream rtf {marks[-1]/audio_total:.5f})")
+
 
 if __name__ == "__main__":
     main()
