@@ -217,6 +217,18 @@ def main():
         except ImportError:
             pass
 
+    # Preemption safety (beyond the reference, which only has
+    # resume-on-restart): TPU VMs get SIGTERM on preemption — checkpoint
+    # at the next step boundary and exit cleanly so resume loses nothing.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
     global_step = int(state.step)
     t_last = time.perf_counter()
     epoch0 = global_step // max(steps_per_epoch, 1)
@@ -243,6 +255,14 @@ def main():
                 evaluate(cfg, synth, state, writer, global_step, logger)
                 save_checkpoint(model_dir, global_step, state)
                 logger.info("saved checkpoint at %d", global_step)
+            if preempted["flag"]:
+                if is_rank0:
+                    save_checkpoint(model_dir, global_step, state)
+                    logger.info(
+                        "SIGTERM: checkpointed at step %d, exiting",
+                        global_step,
+                    )
+                return
             if args.max_steps and global_step >= args.max_steps:
                 if is_rank0:
                     save_checkpoint(model_dir, global_step, state)
