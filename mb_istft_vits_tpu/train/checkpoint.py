@@ -253,6 +253,174 @@ def import_torch_generator(path: str, cfg) -> Dict:
     return jax.tree.map(np.asarray, params)
 
 
+def _get(tree: Dict, path: Tuple[str, ...]) -> np.ndarray:
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def export_torch_generator(params: Dict, cfg, path: str,
+                           iteration: int = 0,
+                           learning_rate: float = 2e-4) -> str:
+    """Inverse of import_torch_generator: write our Synthesizer param tree
+    as a reference-format G_*.pth ({model, iteration, learning_rate,
+    optimizer}) loadable by the reference's lenient utils.load_checkpoint
+    (utils.py:22-47). Buffers (stft window, PQMF filters, updown_filter)
+    are rebuilt by the reference modules' constructors and need not be
+    exported."""
+    import torch
+
+    sd: Dict[str, "torch.Tensor"] = {}
+
+    def put(key, arr):
+        sd[key] = torch.from_numpy(np.ascontiguousarray(np.asarray(arr)))
+
+    def plain_conv(src, dst):
+        put(dst + ".weight", _get(params, src + ("kernel",)).transpose(2, 1, 0))
+        node = _get_node(params, src)
+        if "bias" in node:
+            put(dst + ".bias", node["bias"])
+
+    def wn_conv(src, dst, transpose=False):
+        node = _get_node(params, src)
+        v = np.asarray(node["v"])
+        g = np.asarray(node["g"])
+        if transpose:
+            # ours [k, in, out] -> torch ConvTranspose1d [in, out, k]
+            put(dst + ".weight_v", v.transpose(1, 2, 0))
+            put(dst + ".weight_g", g.reshape(-1, 1, 1))
+        else:
+            # ours [k, in, out] -> torch Conv1d [out, in, k]
+            put(dst + ".weight_v", v.transpose(2, 1, 0))
+            put(dst + ".weight_g", g.reshape(-1, 1, 1))
+        if "bias" in node:
+            put(dst + ".bias", node["bias"])
+
+    def _get_node(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return node
+
+    def layernorm(src, dst):
+        put(dst + ".gamma", _get(params, src + ("gamma",)))
+        put(dst + ".beta", _get(params, src + ("beta",)))
+
+    def dds_conv(src, dst, n_layers=3):
+        for i in range(n_layers):
+            plain_conv(src + (f"convs_sep_{i}",), f"{dst}.convs_sep.{i}")
+            plain_conv(src + (f"convs_1x1_{i}",), f"{dst}.convs_1x1.{i}")
+            layernorm(src + (f"norms_1_{i}",), f"{dst}.norms_1.{i}")
+            layernorm(src + (f"norms_2_{i}",), f"{dst}.norms_2.{i}")
+
+    def wn_block(src, dst, n_layers, has_cond):
+        if has_cond:
+            wn_conv(src + ("cond_layer",), f"{dst}.cond_layer")
+        for i in range(n_layers):
+            wn_conv(src + (f"in_layers_{i}",), f"{dst}.in_layers.{i}")
+            wn_conv(src + (f"res_skip_layers_{i}",),
+                    f"{dst}.res_skip_layers.{i}")
+
+    def conv_flow(src, dst):
+        plain_conv(src + ("pre",), f"{dst}.pre")
+        dds_conv(src + ("convs",), f"{dst}.convs")
+        plain_conv(src + ("proj",), f"{dst}.proj")
+
+    gin = cfg.gin_channels
+
+    put("enc_p.emb.weight", _get(params, ("enc_p", "emb", "embedding")))
+    for i in range(cfg.n_layers):
+        base = ("enc_p", "encoder", f"attn_layers_{i}")
+        dst = f"enc_p.encoder.attn_layers.{i}"
+        for name in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            plain_conv(base + (name,), f"{dst}.{name}")
+        put(f"{dst}.emb_rel_k", _get(params, base + ("emb_rel_k",)))
+        put(f"{dst}.emb_rel_v", _get(params, base + ("emb_rel_v",)))
+        layernorm(("enc_p", "encoder", f"norm_layers_1_{i}"),
+                  f"enc_p.encoder.norm_layers_1.{i}")
+        layernorm(("enc_p", "encoder", f"norm_layers_2_{i}"),
+                  f"enc_p.encoder.norm_layers_2.{i}")
+        plain_conv(("enc_p", "encoder", f"ffn_layers_{i}", "conv_1"),
+                   f"enc_p.encoder.ffn_layers.{i}.conv_1")
+        plain_conv(("enc_p", "encoder", f"ffn_layers_{i}", "conv_2"),
+                   f"enc_p.encoder.ffn_layers.{i}.conv_2")
+    plain_conv(("enc_p", "proj"), "enc_p.proj")
+
+    plain_conv(("enc_q", "pre"), "enc_q.pre")
+    plain_conv(("enc_q", "proj"), "enc_q.proj")
+    wn_block(("enc_q", "enc"), "enc_q.enc", 16, gin != 0)
+
+    for i in range(4):
+        base = ("flow", f"coupling_{i}")
+        dst = f"flow.flows.{2 * i}"
+        plain_conv(base + ("pre",), f"{dst}.pre")
+        plain_conv(base + ("post",), f"{dst}.post")
+        wn_block(base + ("enc",), f"{dst}.enc", 4, gin != 0)
+
+    if cfg.use_sdp:
+        put("dp.flows.0.m", _get(params, ("dp", "flows_0", "m")))
+        put("dp.flows.0.logs", _get(params, ("dp", "flows_0", "logs")))
+        for i in range(4):
+            conv_flow(("dp", f"flows_cf_{i}"), f"dp.flows.{1 + 2 * i}")
+        put("dp.post_flows.0.m", _get(params, ("dp", "post_flows_0", "m")))
+        put("dp.post_flows.0.logs",
+            _get(params, ("dp", "post_flows_0", "logs")))
+        for i in range(4):
+            conv_flow(("dp", f"post_flows_cf_{i}"),
+                      f"dp.post_flows.{1 + 2 * i}")
+        for name in ("pre", "proj", "post_pre", "post_proj"):
+            plain_conv(("dp", name), f"dp.{name}")
+        dds_conv(("dp", "convs"), "dp.convs")
+        dds_conv(("dp", "post_convs"), "dp.post_convs")
+        if gin:
+            plain_conv(("dp", "cond"), "dp.cond")
+    else:
+        for name in ("conv_1", "conv_2", "proj"):
+            plain_conv(("dp", name), f"dp.{name}")
+        layernorm(("dp", "norm_1"), "dp.norm_1")
+        layernorm(("dp", "norm_2"), "dp.norm_2")
+        if gin:
+            plain_conv(("dp", "cond"), "dp.cond")
+
+    trunk = ("dec", "trunk")
+    wn_conv(trunk + ("conv_pre",), "dec.conv_pre")
+    for i in range(len(cfg.upsample_rates)):
+        wn_conv(trunk + (f"ups_{i}",), f"dec.ups.{i}", transpose=True)
+    n_res = len(cfg.resblock_kernel_sizes) * len(cfg.upsample_rates)
+    for i in range(n_res):
+        base = trunk + (f"resblocks_{i}",)
+        dst = f"dec.resblocks.{i}"
+        node = _get_node(params, base)
+        if cfg.resblock == "1":
+            for j in range(3):
+                wn_conv(base + (f"convs1_{j}",), f"{dst}.convs1.{j}")
+                wn_conv(base + (f"convs2_{j}",), f"{dst}.convs2.{j}")
+        else:
+            for j in range(2):
+                wn_conv(base + (f"convs_{j}",), f"{dst}.convs.{j}")
+        if "cond" in node:
+            plain_conv(base + ("cond",), f"{dst}.cond")
+    kind = cfg.decoder_kind
+    if kind == "istft":
+        wn_conv(("dec", "conv_post"), "dec.conv_post")
+    else:
+        wn_conv(("dec", "subband_conv_post"), "dec.subband_conv_post")
+    if kind == "ms_istft":
+        wn_conv(("dec", "multistream_conv_post"),
+                "dec.multistream_conv_post")
+
+    if cfg.n_speakers > 1:
+        put("emb_g.weight", _get(params, ("emb_g", "embedding")))
+
+    torch.save(
+        {"model": sd, "iteration": iteration,
+         "learning_rate": learning_rate, "optimizer": None},
+        path,
+    )
+    return path
+
+
 def import_torch_discriminator(path: str) -> Dict:
     """Map a reference D_*.pth onto our MultiPeriodDiscriminator tree."""
     sd = _load_torch_state_dict(path)

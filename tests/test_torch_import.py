@@ -149,6 +149,23 @@ def test_torch_checkpoint_roundtrip_inference(tmp_path, rng, monkeypatch,
                                   n_fft=512, hop_length=128, win_length=512)
     assert mcd < 0.5, mcd
 
+    # export round-trip: our params -> reference .pth; every parameter
+    # (buffers excluded — the reference rebuilds those in __init__) must
+    # equal the original torch state dict exactly
+    from mb_istft_vits_tpu.train.checkpoint import export_torch_generator
+
+    out_path = tmp_path / "G_export.pth"
+    export_torch_generator(params, cfg, str(out_path))
+    exported = torch.load(out_path, weights_only=False)["model"]
+    orig = {k: v for k, v in ref.state_dict().items()}
+    buffers = {k for k, _ in ref.named_buffers()}
+    param_keys = set(orig) - buffers
+    assert param_keys == set(exported), (
+        sorted(param_keys ^ set(exported))[:10])
+    for k in sorted(param_keys):
+        np.testing.assert_array_equal(
+            exported[k].numpy(), orig[k].numpy(), err_msg=k)
+
 
 def test_torch_discriminator_import(tmp_path, rng, monkeypatch):
     _stub_reference_deps(monkeypatch)
