@@ -101,12 +101,11 @@ class SynthesisModule:
                 self.params = import_torch_generator(checkpoint_path,
                                                      self.cfg)
             else:
-                from mb_istft_vits_tpu.train.checkpoint import load_checkpoint
-
-                raise NotImplementedError(
-                    "orbax dir restore: pass params= from "
-                    "train.checkpoint.load_checkpoint instead"
+                from mb_istft_vits_tpu.train.checkpoint import (
+                    load_generator_params,
                 )
+
+                self.params = load_generator_params(checkpoint_path)
         else:
             # random init (benchmarks / smoke tests)
             x = jnp.zeros((1, 8), jnp.int32)

@@ -49,6 +49,35 @@ def load_checkpoint(model_dir: str, step: int, target) -> Any:
     return ckptr.restore(path, target=target)
 
 
+def load_generator_params(path: str) -> Any:
+    """Generator params from an orbax checkpoint for serving — accepts a
+    model dir (logs/<name>), its ckpt/ root, or a specific ckpt/<step>
+    directory; picks the latest step for the first two. Restores without a
+    target tree and returns the `params_g` subtree."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.isdir(os.path.join(path, "ckpt")):
+        step = latest_checkpoint_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {path}/ckpt")
+        path = os.path.join(path, "ckpt", str(step))
+    elif os.path.basename(path) == "ckpt" or (
+        os.path.isdir(path) and not os.path.basename(path).isdigit()
+        and any(d.isdigit() for d in os.listdir(path))
+    ):
+        steps = [int(d) for d in os.listdir(path) if d.isdigit()]
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        path = os.path.join(path, str(max(steps)))
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path, target=None)
+    if "params_g" not in state:
+        raise KeyError(f"checkpoint at {path} has no params_g "
+                       f"(keys: {list(state)})")
+    return state["params_g"]
+
+
 # ---------------------------------------------------------------------------
 # PyTorch .pth import
 # ---------------------------------------------------------------------------

@@ -152,6 +152,43 @@ def test_synthesize_batch(module):
     assert max(np.abs(a).max() for a in audios) < 100
 
 
+def test_serving_from_orbax_checkpoint(module, tmp_path):
+    """SynthesisModule loads this framework's own orbax checkpoints (a
+    model dir or a ckpt/<step> path) and produces the same audio as the
+    in-memory params."""
+    import jax
+
+    from mb_istft_vits_tpu.config import Config
+    from mb_istft_vits_tpu.infer.synthesis import SynthesisModule
+    from mb_istft_vits_tpu.train import create_train_state
+    from mb_istft_vits_tpu.train.checkpoint import save_checkpoint
+
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(TINY_CONFIG))
+    cfg = Config.from_json(str(cfg_path))
+    import jax.numpy as jnp
+
+    batch = {
+        "x": jnp.ones((2, 8), jnp.int32),
+        "x_lengths": jnp.full((2,), 8, jnp.int32),
+        "spec": jnp.ones((2, 16, 129), jnp.float32),
+        "spec_lengths": jnp.full((2,), 16, jnp.int32),
+    }
+    state, _, _ = create_train_state(cfg, jax.random.PRNGKey(1), batch)
+    model_dir = str(tmp_path / "logs" / "m")
+    save_checkpoint(model_dir, 7, state)
+
+    loaded = SynthesisModule(str(cfg_path), checkpoint_path=model_dir)
+    loaded.TEXT_BUCKETS = module.TEXT_BUCKETS
+    loaded.FRAME_BUCKETS = module.FRAME_BUCKETS
+    direct = SynthesisModule(str(cfg_path), params=state.params_g)
+    direct.TEXT_BUCKETS = module.TEXT_BUCKETS
+    direct.FRAME_BUCKETS = module.FRAME_BUCKETS
+    a1, _ = loaded.synthesize("a i u e o", seed=2)
+    a2, _ = direct.synthesize("a i u e o", seed=2)
+    np.testing.assert_array_equal(a1, a2)
+
+
 def test_synthesize_text_beyond_buckets(module):
     """Text longer than the largest TEXT_BUCKET must synthesize (fresh
     64-granule program), not crash or truncate."""
