@@ -146,6 +146,12 @@ class SynthesisModule:
         self._decode_jit = functools.lru_cache(maxsize=None)(
             self._build_decode
         )
+        self._decode_spec_jit = functools.lru_cache(maxsize=None)(
+            self._build_decode_spec
+        )
+        self._spec_tail_jit = functools.lru_cache(maxsize=None)(
+            self._build_spec_tail
+        )
         self._probe_jit = None
         # adaptive tokens->frames ratio for frame-bucket choice; until the
         # first real observation the exact duration probe picks the bucket
@@ -347,8 +353,12 @@ class SynthesisModule:
         noise_scale_w: float = 0.8,
         cleaned: Optional[bool] = None,
         seed: Optional[int] = None,
+        return_durations: bool = False,
     ):
-        """One latents pass; returns (z [T,C], y_len, sid)."""
+        """One latents pass; returns (z [T,C], y_len, sid), plus the
+        per-token frame durations w [T_x] when ``return_durations`` (the
+        reference also shares w with the chunked decoder,
+        synthesis_module.py:229-304)."""
         ids = self.text_to_ids(text, cleaned)
         x, x_lengths = self._pad_ids(ids)
         sid_arr = self._sid(sid)
@@ -366,7 +376,61 @@ class SynthesisModule:
             if y_len < bucket or bucket >= self.MAX_FRAMES:
                 break
             bucket = _next_bucket(int(bucket * 3 / 2), self.FRAME_BUCKETS)
+        if return_durations:
+            w = np.asarray(attn[0]).sum(axis=0)[: len(ids)]  # [T_x] frames
+            return np.asarray(z[0, :y_len]), y_len, sid, w
         return np.asarray(z[0, :y_len]), y_len, sid
+
+    def phrase_frame_boundaries(
+        self,
+        text: str,
+        w: np.ndarray,
+        cleaned: Optional[bool] = None,
+        boundary_symbols: Optional[set] = None,
+    ) -> List[int]:
+        """Frame indices of phrase boundaries, from the duration vector w
+        of `prepare_shared_latents(..., return_durations=True)`.
+
+        The reference derives accent-phrase chunks from
+        pyopenjtalk.run_frontend and shares (z, w, chunk counts) with the
+        chunked decoder (synthesis_module.py:229-304). Here boundaries are
+        the positions of pause/punctuation symbols in the id sequence —
+        frontend-agnostic, and the same phrase structure those markers
+        carry in both the EN and JP symbol tables."""
+        ids = self.text_to_ids(text, cleaned)
+        symbols = get_symbols(self.data_cfg.text_module)
+        if boundary_symbols is None:
+            boundary_symbols = {"、", "。", ",", ".", "?", "!", "…",
+                                "sp", "pau", " "}
+        cum = np.cumsum(np.asarray(w, np.float64))
+        total = int(round(cum[-1])) if len(cum) else 0
+        bounds = sorted({
+            int(round(cum[i]))
+            for i in range(min(len(ids), len(cum)))
+            if symbols[ids[i]] in boundary_symbols
+        })
+        return [b for b in bounds if 0 < b < total]
+
+    def synthesize_by_phrases(
+        self,
+        text: str,
+        sid: Optional[int] = None,
+        **kwargs,
+    ) -> List[np.ndarray]:
+        """Incremental synthesis at phrase granularity: one latents pass,
+        then decode each phrase segment of z independently (the intended
+        behavior of the reference's prepare_shared_latents /
+        synthesize_from_shared_latents pair, synthesis_module.py:193-353,
+        which is broken as shipped)."""
+        z, y_len, sid, w = self.prepare_shared_latents(
+            text, sid, return_durations=True, **kwargs
+        )
+        bounds = self.phrase_frame_boundaries(text, w)
+        edges = [0] + bounds + [y_len]
+        return [
+            self.infer_z_only(z[lo:hi], sid)
+            for lo, hi in zip(edges[:-1], edges[1:]) if hi > lo
+        ]
 
     @staticmethod
     def _best_shift(a: np.ndarray, b: np.ndarray, max_shift: int) -> int:
@@ -475,6 +539,159 @@ class SynthesisModule:
     ) -> np.ndarray:
         """Concatenated chunked decode (repairs synthesis_module.py:306-353)."""
         return np.concatenate(list(self.stream_from_latents(z, sid, **kwargs)))
+
+    # ------------------------------------------------------------------
+    # spectrogram-domain chunk joining (the reference notebooks' strategies
+    # 5 and 6: infer.ipynb cells 9-12 "spectrogram overlap join" and
+    # "spec join + frame xcorr"; inferz_test.ipynb cell 7 synthesize_cond5)
+    # ------------------------------------------------------------------
+    def _build_decode_spec(self, n_frames: int):
+        def fn(params, z, sid):
+            o, o_mb, spec, phase = self.model.apply(
+                {"params": params}, z, sid, method=Synthesizer.decode,
+            )
+            return spec, phase
+
+        return jax.jit(fn)
+
+    def _build_spec_tail(self, n_spec_frames: int):
+        """Jitted iSTFT(+synthesis-filter) tail applied to a full joined
+        spectrogram — the per-variant back half of the decoder heads
+        (reference models.py:294-296,366-377,461-467)."""
+        from mb_istft_vits_tpu.dsp.pqmf import PQMFBank
+        from mb_istft_vits_tpu.dsp.stft import istft
+        from mb_istft_vits_tpu.nn import Conv1d
+        from mb_istft_vits_tpu.nn.layers import get_padding
+
+        cfg = self.cfg
+        n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
+
+        def fn(params, spec, phase):
+            if spec.ndim == 3:  # single-band iSTFT head: [B, F, bins]
+                o = istft(jnp.swapaxes(spec, 1, 2),
+                          jnp.swapaxes(phase, 1, 2), n_fft, hop, n_fft)
+                return o[..., None]
+            b, t, s, bins = spec.shape
+
+            def to_bft(z):
+                return z.transpose(0, 2, 3, 1).reshape(b * s, bins, t)
+
+            y = istft(to_bft(spec), to_bft(phase), n_fft, hop, n_fft)
+            y_mb = y.reshape(b, s, -1).transpose(0, 2, 1)  # [B, T_wav, s]
+            if cfg.ms_istft_vits:
+                bb, tt, ss = y_mb.shape
+                up = jnp.zeros((bb, tt, ss, ss), y_mb.dtype)
+                up = up.at[:, :, 0, :].set(y_mb * ss).reshape(bb, tt * ss, ss)
+                conv = Conv1d(1, 63, padding=get_padding(63, 1),
+                              use_bias=False, weight_norm=True)
+                return conv.apply(
+                    {"params": params["dec"]["multistream_conv_post"]}, up
+                )
+            return PQMFBank(subbands=cfg.subbands).synthesis(y_mb)
+
+        return jax.jit(fn)
+
+    @staticmethod
+    def _best_frame_shift(a: np.ndarray, b: np.ndarray,
+                          max_shift: int) -> int:
+        """Frame-domain cross-correlation shift search between two overlap
+        windows of spectrogram frames (the notebooks' find_best_frame_shift,
+        infer.ipynb cell 11). a, b: [F, ...] magnitude frames."""
+        af = a.reshape(len(a), -1)
+        bf = b.reshape(len(b), -1)
+        best, best_c = 0, -np.inf
+        for s in range(-max_shift, max_shift + 1):
+            if s >= 0:
+                x, y = af[s:], bf[: len(bf) - s]
+            else:
+                x, y = af[: len(af) + s], bf[-s:]
+            if len(x) < 1:
+                continue
+            c = float(np.sum(x * y)) / max(len(x), 1)
+            if c > best_c:
+                best, best_c = s, c
+        return best
+
+    def decode_spec_join(
+        self,
+        z: np.ndarray,
+        sid: Optional[int] = None,
+        chunk_frames: int = 64,
+        overlap_frames: int = 8,
+        frame_xcorr: bool = False,
+        max_shift: int = 4,
+    ) -> np.ndarray:
+        """Chunked decode joined in the *spectrogram* domain: each z chunk
+        is decoded only to its (spec, phase) head output, overlapping frames
+        are crossfaded as complex spectra, and one iSTFT(+synthesis filter)
+        tail runs over the joined spectrogram — so there is no waveform
+        discontinuity at chunk joins by construction. ``frame_xcorr`` adds
+        the notebooks' frame-shift search at each join (cell 11 strategy).
+        """
+        t_total = z.shape[0]
+        if t_total == 0:
+            return np.zeros((0,), np.float32)
+        sid_arr = self._sid(sid)
+        up = 1
+        for r in self.cfg.upsample_rates:
+            up *= r
+        win_frames = chunk_frames + 2 * overlap_frames
+        dec = self._decode_spec_jit(win_frames)
+        ov_f = overlap_frames * up
+        fade_in = np.linspace(0.0, 1.0, ov_f, dtype=np.float32)
+
+        plan: List[Tuple[int, int, int]] = []
+        pos = 0
+        while pos < t_total:
+            plan.append((pos,
+                         max(0, pos - overlap_frames),
+                         min(t_total, pos + chunk_frames + overlap_frames)))
+            pos += chunk_frames
+
+        joined: List[np.ndarray] = []  # complex spectrum frames [F, ...]
+        prev_tail: Optional[np.ndarray] = None
+        for pos, lo, hi in plan:
+            window = np.zeros((1, win_frames, z.shape[-1]), np.float32)
+            window[0, : hi - lo] = z[lo:hi]
+            spec, phase = dec(self.params, jnp.asarray(window), sid_arr)
+            cspec = (np.asarray(spec, np.float32)[0]
+                     * np.exp(1j * np.asarray(phase, np.float32)[0]))
+            start_f = (pos - lo) * up
+            end_f = start_f + min(chunk_frames, t_total - pos) * up
+            body = cspec[start_f:end_f]
+            head_ov = cspec[max(0, start_f - ov_f): start_f]
+            if prev_tail is not None and len(head_ov) == ov_f:
+                if frame_xcorr:
+                    s = self._best_frame_shift(
+                        np.abs(prev_tail), np.abs(head_ov), max_shift)
+                    head_ov = np.roll(head_ov, s, axis=0)
+                fade = fade_in.reshape((ov_f,) + (1,) * (body.ndim - 1))
+                joined.append(prev_tail * (1 - fade) + head_ov * fade)
+            elif prev_tail is not None:
+                joined.append(prev_tail)
+            is_last = pos + chunk_frames >= t_total
+            if not is_last and len(body) > ov_f:
+                joined.append(body[:-ov_f])
+                prev_tail = body[-ov_f:]
+            else:
+                joined.append(body)
+                prev_tail = None
+        if prev_tail is not None:
+            joined.append(prev_tail)
+        cfull = np.concatenate(joined, axis=0)  # [F_total, ...]
+        f_total = len(cfull)
+
+        bucket = _next_bucket(f_total, (), granule=16 * up)
+        pad_shape = (1, bucket) + cfull.shape[1:]
+        spec_p = np.zeros(pad_shape, np.float32)
+        phase_p = np.zeros(pad_shape, np.float32)
+        spec_p[0, :f_total] = np.abs(cfull)
+        phase_p[0, :f_total] = np.angle(cfull)
+        tail = self._spec_tail_jit(bucket)
+        wav = np.asarray(tail(self.params, jnp.asarray(spec_p),
+                              jnp.asarray(phase_p)))[0, :, 0]
+        n_valid = t_total * self._samples_per_frame()
+        return wav[:n_valid].astype(np.float32)
 
     def infer_z_only(self, z: np.ndarray, sid: Optional[int] = None
                      ) -> np.ndarray:

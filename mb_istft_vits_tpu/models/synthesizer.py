@@ -228,6 +228,34 @@ class Synthesizer(nn.Module):
         )
 
     # ------------------------------------------------------------------
+    # trimmed training forward for the discriminator step: only the
+    # subgraph that produces the fake slice (posterior -> random slice ->
+    # decoder). The text encoder, MAS, flow and duration predictor feed
+    # only generator losses, so the D step (train_latest.py:189) never
+    # needs them. RNG discipline: the first "noise" and first "slice"
+    # make_rng calls happen at the same module path and call index as in
+    # __call__, so z and ids_slice are bit-identical to the full forward
+    # under the same rng dict (asserted in tests/test_train.py).
+    # ------------------------------------------------------------------
+    def fake_slice(
+        self,
+        y: jnp.ndarray,
+        y_lengths: jnp.ndarray,
+        sid: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ):
+        g = self._speaker(sid)
+        z, _m_q, _logs_q, _y_mask = self.enc_q(
+            y, y_lengths, g=g,
+            noise_rng=self.make_rng("noise"), train=train,
+        )
+        z_slice, ids_slice = rand_slice_segments(
+            z, self.make_rng("slice"), y_lengths, self.cfg.segment_size
+        )
+        o, o_mb, _, _ = self.dec(z_slice, g=g)
+        return o, ids_slice
+
+    # ------------------------------------------------------------------
     # inference (reference models.py:697-737)
     # ------------------------------------------------------------------
     def _infer_latents(self, x, x_lengths, sid, noise_scale, length_scale,

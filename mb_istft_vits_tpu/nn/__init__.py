@@ -13,8 +13,21 @@ from mb_istft_vits_tpu.nn.layers import (  # noqa: F401
     LayerNorm,
     LRELU_SLOPE,
 )
-from mb_istft_vits_tpu.nn.blocks import DDSConv, WN, ResBlock1, ResBlock2  # noqa: F401
-from mb_istft_vits_tpu.nn.attention import TransformerEncoder, MultiHeadAttention, FFN  # noqa: F401
+from mb_istft_vits_tpu.nn.blocks import (  # noqa: F401
+    ConvReluNorm,
+    DDSConv,
+    WN,
+    ResBlock1,
+    ResBlock2,
+)
+from mb_istft_vits_tpu.nn.attention import (  # noqa: F401
+    FFN,
+    MultiHeadAttention,
+    TransformerDecoder,
+    TransformerEncoder,
+    attention_bias_proximal,
+    subsequent_mask,
+)
 from mb_istft_vits_tpu.nn.flows import (  # noqa: F401
     Log,
     ElementwiseAffine,

@@ -21,6 +21,38 @@ from mb_istft_vits_tpu.nn.layers import (
 )
 
 
+class ConvReluNorm(nn.Module):
+    """Conv→LayerNorm→ReLU→dropout stack with a zero-initialized residual
+    projection (reference modules.py:35-67; unused by the shipped model but
+    part of the reference's public surface)."""
+
+    hidden_channels: int
+    out_channels: int
+    kernel_size: int
+    n_layers: int
+    p_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x_mask: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        assert self.n_layers > 1
+        x_org = x
+        pad = self.kernel_size // 2
+        for i in range(self.n_layers):
+            x = Conv1d(self.hidden_channels, self.kernel_size, padding=pad,
+                       name=f"conv_layers_{i}")(x * x_mask)
+            x = LayerNorm(name=f"norm_layers_{i}")(x)
+            x = jax.nn.relu(x)
+            x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
+        # proj starts at zero so the block is the identity at init
+        # (reference modules.py:54-56)
+        x = Conv1d(self.out_channels, 1,
+                   kernel_init=nn.initializers.zeros,
+                   bias_init=nn.initializers.zeros,
+                   name="proj")(x)
+        return (x_org + x) * x_mask
+
+
 class DDSConv(nn.Module):
     """Dilated depth-separable conv stack (reference modules.py:70-108)."""
 

@@ -49,6 +49,7 @@ class Conv1d(nn.Module):
     weight_norm: bool = False
     padding: Optional[int] = None  # None -> torch default 0
     kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,13 +90,12 @@ class Conv1d(nn.Module):
         if self.use_bias:
             fan_in = (in_ch // self.groups) * k
             bound = 1.0 / np.sqrt(fan_in)
-            b = self.param(
-                "bias",
+            b_init = self.bias_init or (
                 lambda key, shape: jax.random.uniform(
                     key, shape, jnp.float32, -bound, bound
-                ),
-                (self.features,),
+                )
             )
+            b = self.param("bias", b_init, (self.features,))
             y = y + b.astype(dtype)
         return y
 

@@ -188,12 +188,21 @@ def make_train_step(cfg: Config, synth: Synthesizer,
 
     # ------------------------------------------------------------------
     # program 1: discriminator step (train_latest.py:163-197)
+    # The generator forward here is the *trimmed* fake-slice subgraph
+    # (posterior -> slice -> decoder): the text encoder, MAS, flow and
+    # duration predictor feed only G losses, and Synthesizer.fake_slice
+    # reproduces the exact z/slice of the full forward under the same
+    # rngs — so D sees bit-identical fakes at ~half the forward FLOPs.
     # ------------------------------------------------------------------
     @jax.jit
     def d_step(state: TrainState, batch):
         rngs = step_rngs(state)
-        (y_hat, *_rest) = g_forward(state.params_g, batch, rngs)
-        ids_slice = _rest[3]
+        y_hat, ids_slice = synth.apply(
+            {"params": cast_c(state.params_g)},
+            cast_c(batch["spec"]), batch["spec_lengths"],
+            sid=batch.get("sid"), train=True,
+            method=Synthesizer.fake_slice, rngs=rngs,
+        )
         y = real_slice(batch, ids_slice)
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 

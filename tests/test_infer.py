@@ -233,3 +233,97 @@ def test_chunked_decode_xcorr_align(module):
     assert len(chunked) == len(full)
     c = np.corrcoef(full, chunked)[0, 1]
     assert c > 0.97, c
+
+
+def test_spec_join_single_chunk_matches_full(module):
+    """With one chunk there are no joins: the spec-domain tail must
+    reproduce the full decoder output (validates the iSTFT+PQMF tail
+    split, reference models.py:366-377)."""
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=6)
+    full = module.infer_z_only(z, sid)
+    joined = module.decode_spec_join(z, sid, chunk_frames=256,
+                                     overlap_frames=0)
+    # the last few frames differ by construction: the full decode's iSTFT
+    # overlap-adds contributions from padded frames beyond the valid region
+    # (the exp-magnitude head is never zero), the joined tail pads with
+    # silence — compare away from that boundary
+    n = min(len(full), len(joined)) - 4 * module.hop_length
+    np.testing.assert_allclose(joined[:n], full[:n], atol=2e-3)
+
+
+def test_spec_join_chunked(module):
+    """Spectrogram-domain overlap join (infer.ipynb cells 9-12)."""
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=7)
+    full = module.infer_z_only(z, sid)
+    for kw in ({}, {"frame_xcorr": True}):
+        joined = module.decode_spec_join(z, sid, chunk_frames=16,
+                                         overlap_frames=4, **kw)
+        assert len(joined) == len(full)
+        assert np.all(np.isfinite(joined))
+        c = np.corrcoef(full, joined)[0, 1]
+        assert c > 0.98, (kw, c)
+
+
+def test_spec_join_multistream_variant(tmp_path):
+    """The MS decoder's learned synthesis filter is applied in the
+    spec-domain tail (reference models.py:461-467)."""
+    import copy
+    import json as _json
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["model"]["mb_istft_vits"] = False
+    cfg["model"]["ms_istft_vits"] = True
+    path = tmp_path / "tiny_ms.json"
+    path.write_text(_json.dumps(cfg))
+    from mb_istft_vits_tpu.infer.synthesis import SynthesisModule
+
+    m = SynthesisModule(str(path))
+    m.TEXT_BUCKETS = (32, 64)
+    m.FRAME_BUCKETS = (64, 128, 256)
+    z, y_len, sid = m.prepare_shared_latents(TEXT, seed=8)
+    full = m.infer_z_only(z, sid)
+    joined = m.decode_spec_join(z, sid, chunk_frames=256, overlap_frames=0)
+    n = min(len(full), len(joined)) - 4 * m.hop_length
+    np.testing.assert_allclose(joined[:n], full[:n], atol=2e-3)
+
+
+def test_synthesize_by_phrases(module):
+    """Phrase-boundary incremental synthesis (the intended behavior of the
+    reference's shared-latents chunking, synthesis_module.py:193-353)."""
+    text = ("k o N n i t i w a sp s e k a i sp k o r e w a t e s u t o")
+    z, y_len, sid, w = module.prepare_shared_latents(
+        text, return_durations=True, seed=9)
+    assert len(w) > 0 and abs(float(np.sum(w)) - y_len) <= 1
+    bounds = module.phrase_frame_boundaries(text, w)
+    assert len(bounds) == 2
+    assert all(0 < b < y_len for b in bounds)
+    pieces = module.synthesize_by_phrases(text, seed=9)
+    assert len(pieces) == 3
+    total = sum(len(p) for p in pieces)
+    assert total == y_len * module.hop_length
+
+
+def test_spec_join_singleband_variant(tmp_path):
+    """Spec-domain tail for the full-band iSTFT head (reference
+    models.py:294-296)."""
+    import copy
+    import json as _json
+
+    cfg = copy.deepcopy(TINY_CONFIG)
+    cfg["model"]["mb_istft_vits"] = False
+    cfg["model"]["istft_vits"] = True
+    cfg["model"]["subbands"] = False
+    cfg["model"]["upsample_rates"] = [4, 4]
+    cfg["model"]["upsample_kernel_sizes"] = [8, 8]
+    path = tmp_path / "tiny_fb.json"
+    path.write_text(_json.dumps(cfg))
+    from mb_istft_vits_tpu.infer.synthesis import SynthesisModule
+
+    m = SynthesisModule(str(path))
+    m.TEXT_BUCKETS = (32, 64)
+    m.FRAME_BUCKETS = (64, 128, 256)
+    z, y_len, sid = m.prepare_shared_latents(TEXT, seed=8)
+    full = m.infer_z_only(z, sid)
+    joined = m.decode_spec_join(z, sid, chunk_frames=256, overlap_frames=0)
+    n = min(len(full), len(joined)) - 4 * m.hop_length
+    np.testing.assert_allclose(joined[:n], full[:n], atol=2e-3)

@@ -190,3 +190,23 @@ def test_sdp_forward_and_reverse(rng):
                       method=Synthesizer.infer,
                       rngs={"noise": jax.random.PRNGKey(4)})
     assert np.all(np.isfinite(np.asarray(inf.o)))
+
+
+def test_fake_slice_matches_full_forward(rng):
+    """Synthesizer.fake_slice (the trimmed D-step forward) must reproduce
+    the full training forward's fake slice bit-for-bit under the same rngs
+    — the two jitted train programs rely on this identity."""
+    cfg = tiny_cfg(mb_istft_vits=True)
+    batch = make_batch(rng)
+    model, variables = init_model(cfg, batch)
+    rngs = {"noise": jax.random.PRNGKey(7),
+            "dropout": jax.random.PRNGKey(8),
+            "slice": jax.random.PRNGKey(9)}
+    out = model.apply(variables, *batch, train=True, rngs=rngs)
+    o_full, ids_full = out[0], out[4]
+    o_fake, ids_fake = model.apply(
+        variables, batch[2], batch[3], train=True,
+        method=Synthesizer.fake_slice, rngs=rngs,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_full), np.asarray(ids_fake))
+    np.testing.assert_array_equal(np.asarray(o_full), np.asarray(o_fake))

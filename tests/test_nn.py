@@ -239,3 +239,132 @@ def test_dds_conv(rng):
     params = m.init(jax.random.PRNGKey(0), x, mask)
     y = m.apply(params, x, mask)
     assert y.shape == x.shape
+
+
+def test_conv_relu_norm_identity_at_init(rng):
+    """Zero-initialized proj makes the block the identity at init
+    (reference modules.py:54-56)."""
+    from mb_istft_vits_tpu.nn import ConvReluNorm
+
+    x = rng.randn(2, 12, 16).astype(np.float32)
+    mask = np.ones((2, 12, 1), np.float32)
+    mask[1, 8:] = 0.0
+    m = ConvReluNorm(hidden_channels=16, out_channels=16, kernel_size=5,
+                     n_layers=3, p_dropout=0.1)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))
+    y = np.asarray(m.apply(params, jnp.asarray(x), jnp.asarray(mask)))
+    np.testing.assert_allclose(y, x * mask, atol=1e-6)
+
+
+def test_mha_proximal_init_copies_qk(rng):
+    """proximal_init starts conv_k as a copy of conv_q
+    (reference attentions.py:141-144)."""
+    x = jnp.asarray(rng.randn(1, 8, 16).astype(np.float32))
+    m = MultiHeadAttention(16, 16, 2, window_size=None, proximal_init=True)
+    params = m.init(jax.random.PRNGKey(3), x)["params"]
+    np.testing.assert_array_equal(
+        np.asarray(params["conv_q"]["kernel"]),
+        np.asarray(params["conv_k"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["conv_q"]["bias"]),
+        np.asarray(params["conv_k"]["bias"]),
+    )
+    # and still distinct leaves: perturbing k must not change q
+    assert params["conv_q"]["kernel"] is not params["conv_k"]["kernel"]
+
+
+def test_mha_proximal_bias_matches_oracle(rng):
+    """Full numpy oracle of plain attention + the -log1p(|i-j|) proximal
+    bias (reference attentions.py:151-153,245-254)."""
+    b, t, c, h = 1, 6, 8, 2
+    x = rng.randn(b, t, c).astype(np.float32)
+    m = MultiHeadAttention(c, c, h, window_size=None, proximal_bias=True)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(m.apply(params, jnp.asarray(x)))
+
+    p = params["params"]
+
+    def conv1x1(z, name):
+        w = np.asarray(p[name]["kernel"])[0]  # [in, out]
+        return z @ w + np.asarray(p[name]["bias"])
+
+    d_k = c // h
+    q = conv1x1(x, "conv_q").reshape(b, t, h, d_k).transpose(0, 2, 1, 3)
+    k = conv1x1(x, "conv_k").reshape(b, t, h, d_k).transpose(0, 2, 1, 3)
+    v = conv1x1(x, "conv_v").reshape(b, t, h, d_k).transpose(0, 2, 1, 3)
+    scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(d_k)
+    r = np.arange(t, dtype=np.float32)
+    scores = scores - np.log1p(np.abs(r[None, :] - r[:, None]))[None, None]
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    out = (attn @ v).transpose(0, 2, 1, 3).reshape(b, t, c)
+    np.testing.assert_allclose(y, conv1x1(out, "conv_o"), atol=1e-4)
+
+
+def test_mha_block_length_limits_attention(rng):
+    """block_length band-limits self-attention (reference attentions.py:156-159):
+    tokens farther than the block cannot influence the output."""
+    b, t, c = 1, 12, 16
+    x = rng.randn(b, t, c).astype(np.float32)
+    mask = jnp.ones((b, 1, t, t), jnp.float32)
+    m = MultiHeadAttention(c, c, 2, window_size=None, block_length=2)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), mask)
+    y1 = np.asarray(m.apply(params, jnp.asarray(x), mask))
+    x2 = x.copy()
+    x2[0, 11] += 50.0  # far from position 0 (distance 11 > block 2)
+    y2 = np.asarray(m.apply(params, jnp.asarray(x2), mask))
+    np.testing.assert_allclose(y1[0, :3], y2[0, :3], atol=1e-4)
+    assert not np.allclose(y1[0, 10:], y2[0, 10:])
+
+
+def test_mha_cross_attention(rng):
+    """context= routes K/V from the encoder side (reference Decoder encdec
+    path, attentions.py:161-169)."""
+    b, tq, ts, c = 2, 7, 5, 16
+    x = jnp.asarray(rng.randn(b, tq, c).astype(np.float32))
+    ctx = rng.randn(b, ts, c).astype(np.float32)
+    m = MultiHeadAttention(c, c, 2, window_size=None)
+    params = m.init(jax.random.PRNGKey(0), x, context=jnp.asarray(ctx))
+    y1 = np.asarray(m.apply(params, x, context=jnp.asarray(ctx)))
+    assert y1.shape == (b, tq, c)
+    y2 = np.asarray(m.apply(params, x, context=jnp.asarray(ctx * 2)))
+    assert not np.allclose(y1, y2)
+    # masking a context position makes its value irrelevant
+    mask = np.ones((b, 1, tq, ts), np.float32)
+    mask[:, :, :, 4] = 0.0
+    ctx3 = ctx.copy()
+    ctx3[:, 4] += 100.0
+    ya = np.asarray(m.apply(params, x, jnp.asarray(mask),
+                            context=jnp.asarray(ctx)))
+    yb = np.asarray(m.apply(params, x, jnp.asarray(mask),
+                            context=jnp.asarray(ctx3)))
+    np.testing.assert_allclose(ya, yb, atol=1e-4)
+
+
+def test_transformer_decoder_causal(rng):
+    """The Decoder stack (reference attentions.py:50-98) is causal: a change
+    at position j cannot affect outputs before j; the encoder memory is
+    wired in via cross-attention."""
+    from mb_istft_vits_tpu.nn import TransformerDecoder
+
+    b, t, ts, c = 1, 10, 6, 16
+    x = rng.randn(b, t, c).astype(np.float32)
+    h = rng.randn(b, ts, c).astype(np.float32)
+    x_mask = jnp.ones((b, t, 1), jnp.float32)
+    h_mask = jnp.ones((b, ts, 1), jnp.float32)
+    m = TransformerDecoder(hidden_channels=c, filter_channels=32, n_heads=2,
+                           n_layers=2, kernel_size=3)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), x_mask,
+                    jnp.asarray(h), h_mask)
+    y1 = np.asarray(m.apply(params, jnp.asarray(x), x_mask,
+                            jnp.asarray(h), h_mask))
+    x2 = x.copy()
+    x2[0, 6] += 10.0
+    y2 = np.asarray(m.apply(params, jnp.asarray(x2), x_mask,
+                            jnp.asarray(h), h_mask))
+    np.testing.assert_allclose(y1[0, :6], y2[0, :6], atol=1e-4)
+    assert not np.allclose(y1[0, 6:], y2[0, 6:])
+    y3 = np.asarray(m.apply(params, jnp.asarray(x), x_mask,
+                            jnp.asarray(h * 2), h_mask))
+    assert not np.allclose(y1, y3)
