@@ -46,6 +46,52 @@ def rand_slice_segments(
     return slice_segments(x, ids_str, segment_size), ids_str
 
 
+def get_timing_signal_1d(
+    length: int,
+    channels: int,
+    min_timescale: float = 1.0,
+    max_timescale: float = 1.0e4,
+) -> jnp.ndarray:
+    """Transformer sinusoid position signal [1, length, channels]
+    (reference commons.py:67-82; channel-last here)."""
+    position = jnp.arange(length, dtype=jnp.float32)
+    num_timescales = channels // 2
+    log_timescale_increment = (
+        jnp.log(jnp.asarray(max_timescale / min_timescale))
+        / max(num_timescales - 1, 1)
+    )
+    inv_timescales = min_timescale * jnp.exp(
+        jnp.arange(num_timescales, dtype=jnp.float32)
+        * -log_timescale_increment
+    )
+    scaled_time = position[:, None] * inv_timescales[None, :]  # [T, C/2]
+    signal = jnp.concatenate(
+        [jnp.sin(scaled_time), jnp.cos(scaled_time)], axis=1
+    )
+    signal = jnp.pad(signal, ((0, 0), (0, channels % 2)))
+    return signal[None]  # [1, T, C]
+
+
+def add_timing_signal_1d(x: jnp.ndarray, min_timescale: float = 1.0,
+                         max_timescale: float = 1.0e4) -> jnp.ndarray:
+    """x [B, T, C] + sinusoid signal (reference commons.py:85-88)."""
+    _, t, c = x.shape
+    return x + get_timing_signal_1d(t, c, min_timescale,
+                                    max_timescale).astype(x.dtype)
+
+
+def cat_timing_signal_1d(x: jnp.ndarray, min_timescale: float = 1.0,
+                         max_timescale: float = 1.0e4,
+                         axis: int = -1) -> jnp.ndarray:
+    """Concatenate the sinusoid signal on the channel axis
+    (reference commons.py:91-94; axis=-1 is the channel in our layout)."""
+    b, t, c = x.shape
+    signal = get_timing_signal_1d(t, c, min_timescale,
+                                  max_timescale).astype(x.dtype)
+    return jnp.concatenate([x, jnp.broadcast_to(signal, (b, t, c))],
+                           axis=axis)
+
+
 def generate_path(duration: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Expand durations into a hard monotonic alignment
     (reference commons.py:128-143).

@@ -139,3 +139,43 @@ def test_maximum_path_native_cpp(rng):
     ours = maximum_path_native(neg_cent, mask)
     oracle = maximum_path_numpy(neg_cent, mask)
     np.testing.assert_array_equal(ours, oracle)
+
+
+def test_timing_signal_matches_reference_formula():
+    """Sinusoid position signal vs an independent numpy transcription of
+    the transformer formula (reference commons.py:67-94)."""
+    import numpy as np
+
+    from mb_istft_vits_tpu.ops import (
+        add_timing_signal_1d,
+        cat_timing_signal_1d,
+        get_timing_signal_1d,
+    )
+
+    length, channels = 13, 10
+    sig = np.asarray(get_timing_signal_1d(length, channels))[0]  # [T, C]
+
+    pos = np.arange(length, dtype=np.float64)
+    n_ts = channels // 2
+    inv = 1.0 * np.exp(
+        np.arange(n_ts) * -(np.log(1e4 / 1.0) / (n_ts - 1))
+    )
+    st = pos[:, None] * inv[None, :]
+    want = np.concatenate([np.sin(st), np.cos(st)], axis=1)
+    np.testing.assert_allclose(sig, want, atol=1e-5)
+
+    # odd channel count pads one zero column
+    sig_odd = np.asarray(get_timing_signal_1d(8, 7))[0]
+    assert sig_odd.shape == (8, 7)
+    np.testing.assert_array_equal(sig_odd[:, -1], np.zeros(8))
+
+    import jax.numpy as jnp
+
+    x = jnp.ones((2, length, channels))
+    np.testing.assert_allclose(
+        np.asarray(add_timing_signal_1d(x))[0], 1.0 + sig, atol=1e-5
+    )
+    cat = cat_timing_signal_1d(x)
+    assert cat.shape == (2, length, 2 * channels)
+    np.testing.assert_allclose(np.asarray(cat)[1, :, channels:], sig,
+                               atol=1e-5)
