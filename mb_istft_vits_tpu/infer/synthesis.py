@@ -523,8 +523,11 @@ class SynthesisModule:
             elif prev_tail is not None:
                 yield prev_tail
             # hold back our own tail for crossfading with the next chunk
+            # (ov_samps == 0 would make body[:-0] empty / body[-0:] whole —
+            # butt-join instead)
             tail_sz = min(ov_samps, len(body))
-            if pos + chunk_frames < t_total and tail_sz == ov_samps:
+            if (ov_samps > 0 and pos + chunk_frames < t_total
+                    and tail_sz == ov_samps):
                 yield body[:-ov_samps] if len(body) > ov_samps else \
                     body[:0]
                 prev_tail = body[-ov_samps:]
@@ -670,7 +673,9 @@ class SynthesisModule:
             elif prev_tail is not None:
                 joined.append(prev_tail)
             is_last = pos + chunk_frames >= t_total
-            if not is_last and len(body) > ov_f:
+            # ov_f == 0: body[:-0] would be empty and body[-0:] the whole
+            # chunk — butt-join the frames instead
+            if ov_f > 0 and not is_last and len(body) > ov_f:
                 joined.append(body[:-ov_f])
                 prev_tail = body[-ov_f:]
             else:

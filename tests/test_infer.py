@@ -327,3 +327,16 @@ def test_spec_join_singleband_variant(tmp_path):
     joined = m.decode_spec_join(z, sid, chunk_frames=256, overlap_frames=0)
     n = min(len(full), len(joined)) - 4 * m.hop_length
     np.testing.assert_allclose(joined[:n], full[:n], atol=2e-3)
+
+
+def test_chunked_decode_zero_overlap(module):
+    """overlap_frames=0 must butt-join chunks losslessly in both the
+    waveform and spectrogram joiners (regression: body[:-0] is empty in
+    numpy slicing)."""
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=11)
+    wave = module.synthesize_from_shared_latents(
+        z, sid, chunk_frames=16, overlap_frames=0)
+    assert len(wave) == y_len * module.hop_length
+    spec = module.decode_spec_join(z, sid, chunk_frames=16, overlap_frames=0)
+    assert len(spec) == y_len * module.hop_length
+    assert np.all(np.isfinite(wave)) and np.all(np.isfinite(spec))
