@@ -10,9 +10,48 @@ SURVEY.md §5.1-5.2).
 from __future__ import annotations
 
 import contextlib
+import io
+import wave
 from typing import Dict, Optional
 
 import numpy as np
+
+
+def encode_wav_bytes(audio: np.ndarray, sampling_rate: int) -> bytes:
+    """float [-1, 1] mono -> 16-bit PCM WAV bytes (stdlib only)."""
+    pcm = np.clip(np.asarray(audio, np.float32).reshape(-1), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sampling_rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def _add_audio(writer, tag: str, audio: np.ndarray, global_step: int,
+               sampling_rate: int) -> None:
+    """TensorBoard audio summary without the soundfile dependency
+    (tensorboardX's add_audio imports soundfile, which is not in this
+    image): encode the WAV with the stdlib and emit the Summary proto
+    directly."""
+    try:
+        from tensorboardX.proto.summary_pb2 import Summary
+
+        wav_bytes = encode_wav_bytes(audio, sampling_rate)
+        audio_proto = Summary.Audio(
+            sample_rate=sampling_rate,
+            num_channels=1,
+            length_frames=len(np.asarray(audio).reshape(-1)),
+            encoded_audio_string=wav_bytes,
+            content_type="audio/wav",
+        )
+        summary = Summary(value=[Summary.Value(tag=tag, audio=audio_proto)])
+        writer.file_writer.add_summary(summary, global_step)
+    except Exception:
+        # last resort: the stock path (works where soundfile exists)
+        writer.add_audio(tag, np.asarray(audio), global_step, sampling_rate)
 
 
 def summarize(
@@ -33,7 +72,8 @@ def summarize(
     for k, v in (images or {}).items():
         writer.add_image(k, v, global_step, dataformats="HWC")
     for k, v in (audios or {}).items():
-        writer.add_audio(k, np.asarray(v), global_step, audio_sampling_rate)
+        _add_audio(writer, k, np.asarray(v), global_step,
+                   audio_sampling_rate)
 
 
 def _render_figure(fig) -> np.ndarray:

@@ -140,3 +140,28 @@ def test_lr_schedule():
     # decays once per epoch (steps_per_epoch=10)
     assert float(sched(9)) == pytest.approx(lr0)
     assert float(sched(10)) == pytest.approx(lr0 * cfg.train.lr_decay)
+
+
+def test_summarize_audio_without_soundfile(tmp_path):
+    """TB audio summaries must not require the soundfile package (absent
+    in this image): the WAV is encoded with the stdlib and written as a
+    raw Summary proto. Regression: the first eval of a training run
+    crashed in tensorboardX.add_audio -> import soundfile."""
+    import numpy as np
+    from tensorboardX import SummaryWriter
+
+    from mb_istft_vits_tpu.utils.observability import (
+        encode_wav_bytes,
+        summarize,
+    )
+
+    audio = np.sin(np.linspace(0, 440 * 2 * np.pi, 8000)).astype(np.float32)
+    wav = encode_wav_bytes(audio, 8000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+
+    writer = SummaryWriter(str(tmp_path))
+    summarize(writer, 1, scalars={"loss": 1.0},
+              audios={"gen/audio": audio}, audio_sampling_rate=8000)
+    writer.close()
+    events = list(tmp_path.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > len(wav)
