@@ -73,15 +73,25 @@ _id_to_symbol = {i: s for i, s in enumerate(symbols)}
 
 def mora2phoneme(text: str) -> str:
     """Katakana mora string → phoneme token string
-    (reference phonemize.py:138-271)."""
-    text = text.replace(" ", "sp")
+    (reference phonemize.py:138-271).
+
+    Divergence from the reference (documented quirk fix): the reference
+    does ``text.replace(" ", "sp")`` *before* the mora tables append
+    their trailing spaces, so a space between phrases yields a glued
+    token like ``sps a`` — which the space-split ID mapping then drops
+    entirely, losing both the pause and the following phoneme
+    (phonemize.py:263, __init__.py:22). Here the pause is held as a
+    sentinel through the table pass and emitted as a proper separated
+    ``sp`` token."""
+    text = text.replace(" ", "▁")
     for m, p in TABLE2.items():
         text = text.replace(m, p + " ")
     for m, p in TABLE.items():
         text = text.replace(m, p + " ")
     text = text.rstrip()
     text = text.replace(" ー", ": ")
-    return text
+    text = text.replace("▁", "sp ")
+    return " ".join(text.split())
 
 
 class Phonemizer:

@@ -192,3 +192,21 @@ def test_batcher_rank_partition(wav_dataset):
             all_ids.extend(ids)
     # every sample appears (padding may duplicate)
     assert set(all_ids) >= set(range(len(ds))) - set(), all_ids
+
+
+def test_jp_cleaner_space_becomes_separated_sp_token():
+    """Phrase spaces must become a standalone 'sp' pause token. The
+    reference glues it to the next phoneme ('sps a'), which the
+    space-split ID mapping silently drops — losing the pause AND a
+    phoneme (reference phonemize.py:263 + text_JP/__init__.py:22, a
+    documented quirk fix here)."""
+    from mb_istft_vits_tpu.text import jp
+
+    c = jp.japanese_cleaners("カキクケコ サシスセソ")
+    toks = c.split(" ")
+    assert toks == ["k", "a", "k", "i", "k", "u", "k", "e", "k", "o",
+                    "sp", "s", "a", "s", "i", "s", "u", "s", "e", "s", "o"]
+    assert all(t in set(jp.symbols) for t in toks)
+    # digraph mora + sokuon still map through the tables
+    assert jp.japanese_cleaners("チョット マッテ").split(" ") == [
+        "ch", "o", "Q", "t", "o", "sp", "m", "a", "Q", "t", "e"]
