@@ -94,11 +94,82 @@ def mora2phoneme(text: str) -> str:
     return " ".join(text.split())
 
 
+# ---------------------------------------------------------------------
+# IPA variant (reference phonemize.py:3-136 mora2phoneme_text2phoneme).
+# Rather than a second hand-written kana table, the IPA tables are derived
+# from the romaji tables above through a phone-level rewrite (plus the
+# handful of morae whose romaji is ambiguous, e.g. チ vs ティ both "t i").
+# ---------------------------------------------------------------------
+_IPA_PHONE = {
+    "u": "ɯ", "f": "ɸ", "y": "j", "r": "ɾ", "N": "ɴ",
+    "ky": "k j", "gy": "g j", "ny": "n j", "hy": "ç j", "py": "p j",
+    "by": "b j", "my": "m j", "ry": "ɾ j",
+    "sy": "ɕ", "zy": "d ʑ", "ch": "t ɕ", "ts": "t s",
+}
+_IPA_CONTEXT = {  # (consonant, following vowel) -> IPA consonant
+    ("s", "i"): "ɕ", ("z", "i"): "d ʑ", ("t", "i"): "t ɕ",
+    ("t", "u"): "t s", ("h", "i"): "ç", ("h", "u"): "ɸ",
+}
+_IPA_MORA_EXCEPTIONS = {
+    # morae whose romaji collides with another mora's (phonemize.py:175-189)
+    "ティ": "t i", "ディ": "d i", "トゥ": "t ɯ", "ドゥ": "d ɯ",
+    "スィ": "s i", "ズィ": "z i",
+    # only ワ is the compressed [ɰᵝ]; ウィ/ウェ stay plain w (:54,:113)
+    "ワ": "ɰᵝ a",
+}
+
+
+def _romaji_to_ipa(romaji: str) -> str:
+    toks = romaji.split(" ")
+    out = []
+    for i, t in enumerate(toks):
+        nxt = toks[i + 1] if i + 1 < len(toks) else ""
+        if (t, nxt) in _IPA_CONTEXT:
+            out.append(_IPA_CONTEXT[(t, nxt)])
+        else:
+            out.append(_IPA_PHONE.get(t, t))
+    return " ".join(out)
+
+
+IPA_TABLE2 = {
+    k: _IPA_MORA_EXCEPTIONS.get(k, _romaji_to_ipa(v))
+    for k, v in TABLE2.items()
+}
+IPA_TABLE = {
+    k: _IPA_MORA_EXCEPTIONS.get(k, _romaji_to_ipa(v))
+    for k, v in TABLE.items() if k != "ッ"
+}
+
+
+def mora2ipa(text: str) -> str:
+    """Katakana mora string → IPA phone tokens (the reference's IPA
+    variant, phonemize.py:3-136): spaces become a '▁' word-boundary
+    token, 'ー' lengthens the preceding vowel with 'ː'-style ':', and
+    sokuon ッ geminates the following consonant (':' after it) or
+    becomes a glottal stop ʔ before a vowel / at the end."""
+    text = text.replace(" ", "▁")
+    for m, p in IPA_TABLE2.items():
+        text = text.replace(m, p + " ")
+    for m, p in IPA_TABLE.items():
+        text = text.replace(m, p + " ")
+    text = text.rstrip()
+    text = text.replace(" ー", ": ")
+    # sokuon (phonemize.py:132-134 behavior)
+    text = re.sub("ッ([^aiɯeo]*) ([aiɯeo])", r"\1: \2", text)
+    text = re.sub("ッ ?([aiɯeo])", r"ʔ \1", text)
+    text = re.sub("ッ$", "ʔ", text)
+    text = text.replace("▁", "▁ ")
+    return " ".join(text.split())
+
+
 class Phonemizer:
-    """reference phonemize.py:273-279"""
+    """reference phonemize.py:273-279 — selectable mora→phoneme backend."""
+
+    def __init__(self, variant: str = "jpn"):
+        self.mora2phoneme = {"jpn": mora2phoneme, "ipa": mora2ipa}[variant]
 
     def __call__(self, text: str) -> str:
-        return mora2phoneme(text)
+        return self.mora2phoneme(text)
 
 
 def japanese_cleaners(text: str) -> str:

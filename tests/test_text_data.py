@@ -210,3 +210,25 @@ def test_jp_cleaner_space_becomes_separated_sp_token():
     # digraph mora + sokuon still map through the tables
     assert jp.japanese_cleaners("チョット マッテ").split(" ") == [
         "ch", "o", "Q", "t", "o", "sp", "m", "a", "Q", "t", "e"]
+
+
+def test_jp_ipa_phonemizer_variant():
+    """The IPA mora variant (reference phonemize.py:3-136): palatalized
+    consonants, compressed ɰᵝ for ワ only, sokuon gemination/glottal
+    stop, long-vowel ':', '▁' word boundary."""
+    from mb_istft_vits_tpu.text.jp import Phonemizer, mora2ipa
+
+    assert mora2ipa("コンニチハ") == "k o ɴ n i t ɕ i h a"
+    assert mora2ipa("シンブン") == "ɕ i ɴ b ɯ ɴ"
+    assert mora2ipa("チョット マッテ") == "t ɕ o t: o ▁ m a t: e"
+    assert mora2ipa("ツクエ") == "t s ɯ k ɯ e"
+    assert mora2ipa("フジ ヒカリ") == "ɸ ɯ d ʑ i ▁ ç i k a ɾ i"
+    assert mora2ipa("ワタシ") == "ɰᵝ a t a ɕ i"
+    assert mora2ipa("ガッコー") == "g a k: o:"
+    # romaji-colliding morae keep their plain consonants
+    assert mora2ipa("ティーダ スィート") == "t i: d a ▁ s i: t o"
+    # ッ before a vowel / at the end -> glottal stop
+    assert mora2ipa("アッ") == "a ʔ"
+    # the two Phonemizer backends (reference phonemize.py:273-279)
+    assert Phonemizer("ipa")("シャシン") == "ɕ a ɕ i ɴ"
+    assert Phonemizer()("シャシン") == "sy a s i N"
