@@ -340,3 +340,10 @@ def test_chunked_decode_zero_overlap(module):
     spec = module.decode_spec_join(z, sid, chunk_frames=16, overlap_frames=0)
     assert len(spec) == y_len * module.hop_length
     assert np.all(np.isfinite(wave)) and np.all(np.isfinite(spec))
+
+
+def test_synthesize_empty_and_single_token(module):
+    """Degenerate inputs must not crash or emit non-finite audio."""
+    for t in ["", "   ", "a"]:
+        audio, _ = module.synthesize(t, seed=0)
+        assert len(audio) > 0 and np.all(np.isfinite(audio)), repr(t)
