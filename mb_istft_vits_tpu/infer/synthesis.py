@@ -238,6 +238,35 @@ class SynthesisModule:
                                           noise_scale_w, rng)[0])
         return _next_bucket(frames, self.FRAME_BUCKETS)
 
+    def warmup(self, pairs: Optional[Sequence[Tuple[int, int]]] = None
+               ) -> None:
+        """Pre-compile serving programs ahead of traffic.
+
+        XLA cold-start compiles take minutes for the large buckets; a
+        production deployment calls this once at startup so no live
+        request pays them. ``pairs`` is a list of (text_bucket,
+        frame_bucket) shapes to compile; the default warms each text
+        bucket with its expected output-frame bucket (tokens × the
+        adaptive frames-per-token ratio) plus the duration-probe program.
+        """
+        if pairs is None:
+            pairs = [
+                (tb, _next_bucket(int(tb * self._frames_per_token),
+                                  self.FRAME_BUCKETS))
+                for tb in self.TEXT_BUCKETS
+            ]
+        rng = jax.random.PRNGKey(0)
+        sid = self._sid(0)
+        out = None
+        for tb, fb in pairs:
+            x = jnp.ones((1, tb), jnp.int32)
+            xl = jnp.asarray([tb], jnp.int32)
+            self._probe_jit_call(x, xl, sid, 1.0, 0.8, rng)
+            fn = self._infer_jit(fb)
+            out = fn(self.params, x, xl, sid, 0.667, 1.0, 0.8, rng)
+        if out is not None:
+            jax.device_get(out[1][:, :1])  # sync: compiles are done
+
     # ------------------------------------------------------------------
     # synthesis entry points
     # ------------------------------------------------------------------

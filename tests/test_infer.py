@@ -347,3 +347,17 @@ def test_synthesize_empty_and_single_token(module):
     for t in ["", "   ", "a"]:
         audio, _ = module.synthesize(t, seed=0)
         assert len(audio) > 0 and np.all(np.isfinite(audio)), repr(t)
+
+
+def test_warmup_precompiles(module):
+    """warmup() compiles the probe + infer programs for the given bucket
+    pairs; a following synthesize call on those shapes must NOT trigger
+    any new compilation (jit cache size unchanged)."""
+    module.warmup(pairs=[(32, 64)])
+    fn = module._infer_jit(64)
+    n0 = fn._cache_size()
+    assert n0 >= 1
+    audio, timings = module.synthesize("a i u e o", seed=1)  # -> (32, 64)
+    assert timings["frame_bucket"] == 64
+    assert fn._cache_size() == n0
+    assert len(audio) > 0 and np.all(np.isfinite(audio))
