@@ -454,7 +454,10 @@ class SynthesisModule:
         z, y_len, sid, w = self.prepare_shared_latents(
             text, sid, return_durations=True, **kwargs
         )
-        bounds = self.phrase_frame_boundaries(text, w)
+        # same cleaned= the latents pass used, so both tokenize identically
+        bounds = self.phrase_frame_boundaries(
+            text, w, cleaned=kwargs.get("cleaned")
+        )
         edges = [0] + bounds + [y_len]
         return [
             self.infer_z_only(z[lo:hi], sid)
@@ -680,23 +683,42 @@ class SynthesisModule:
                          min(t_total, pos + chunk_frames + overlap_frames)))
             pos += chunk_frames
 
-        joined: List[np.ndarray] = []  # complex spectrum frames [F, ...]
-        prev_tail: Optional[np.ndarray] = None
-        for pos, lo, hi in plan:
+        # one-deep pipeline like stream_from_latents: chunk i+1 is
+        # dispatched before chunk i's (spec, phase) is fetched, so device
+        # compute and the high-RTT D2H transfer overlap
+        def dispatch(i: int):
+            _, lo, hi = plan[i]
             window = np.zeros((1, win_frames, z.shape[-1]), np.float32)
             window[0, : hi - lo] = z[lo:hi]
-            spec, phase = dec(self.params, jnp.asarray(window), sid_arr)
+            return dec(self.params, jnp.asarray(window), sid_arr)
+
+        joined: List[np.ndarray] = []  # complex spectrum frames [F, ...]
+        prev_tail: Optional[np.ndarray] = None
+        pending = dispatch(0)
+        for i, (pos, lo, hi) in enumerate(plan):
+            nxt = dispatch(i + 1) if i + 1 < len(plan) else None
+            spec, phase = pending
             cspec = (np.asarray(spec, np.float32)[0]
                      * np.exp(1j * np.asarray(phase, np.float32)[0]))
+            pending = nxt
             start_f = (pos - lo) * up
             end_f = start_f + min(chunk_frames, t_total - pos) * up
+            valid_f = (hi - lo) * up  # frames actually decoded from z
+            if frame_xcorr and prev_tail is not None and start_f >= ov_f:
+                # shift the WHOLE remaining chunk by s so the crossfaded
+                # overlap stays contiguous with the body (an np.roll of
+                # just the overlap would wrap frames in and leave an
+                # s-frame seam where the fade hands over to the body);
+                # clamp to the valid region so length is preserved
+                s = self._best_frame_shift(
+                    np.abs(prev_tail),
+                    np.abs(cspec[start_f - ov_f: start_f]), max_shift)
+                s = int(np.clip(s, -(start_f - ov_f), valid_f - end_f))
+                start_f += s
+                end_f += s
             body = cspec[start_f:end_f]
             head_ov = cspec[max(0, start_f - ov_f): start_f]
             if prev_tail is not None and len(head_ov) == ov_f:
-                if frame_xcorr:
-                    s = self._best_frame_shift(
-                        np.abs(prev_tail), np.abs(head_ov), max_shift)
-                    head_ov = np.roll(head_ov, s, axis=0)
                 fade = fade_in.reshape((ov_f,) + (1,) * (body.ndim - 1))
                 joined.append(prev_tail * (1 - fade) + head_ov * fade)
             elif prev_tail is not None:

@@ -71,7 +71,7 @@ _symbol_to_id = {s: i for i, s in enumerate(symbols)}
 _id_to_symbol = {i: s for i, s in enumerate(symbols)}
 
 
-def mora2phoneme(text: str) -> str:
+def mora2phoneme(text: str, reference_compat: bool = False) -> str:
     """Katakana mora string → phoneme token string
     (reference phonemize.py:138-271).
 
@@ -82,14 +82,22 @@ def mora2phoneme(text: str) -> str:
     entirely, losing both the pause and the following phoneme
     (phonemize.py:263, __init__.py:22). Here the pause is held as a
     sentinel through the table pass and emitted as a proper separated
-    ``sp`` token."""
-    text = text.replace(" ", "▁")
+    ``sp`` token. Pass ``reference_compat=True`` to reproduce the
+    reference's exact (buggy) tokenization — e.g. when serving a
+    checkpoint trained with the reference frontend, whose model never
+    saw pauses at those positions."""
+    if reference_compat:
+        text = text.replace(" ", "sp")
+    else:
+        text = text.replace(" ", "▁")
     for m, p in TABLE2.items():
         text = text.replace(m, p + " ")
     for m, p in TABLE.items():
         text = text.replace(m, p + " ")
     text = text.rstrip()
     text = text.replace(" ー", ": ")
+    if reference_compat:
+        return text
     text = text.replace("▁", "sp ")
     return " ".join(text.split())
 
@@ -146,7 +154,13 @@ def mora2ipa(text: str) -> str:
     variant, phonemize.py:3-136): spaces become a '▁' word-boundary
     token, 'ー' lengthens the preceding vowel with 'ː'-style ':', and
     sokuon ッ geminates the following consonant (':' after it) or
-    becomes a glottal stop ʔ before a vowel / at the end."""
+    becomes a glottal stop ʔ before a vowel / word boundary / the end.
+
+    Note: this is a standalone phonemizer (`Phonemizer("ipa")`), matching
+    the reference where the IPA variant exists beside — but is not wired
+    into — the jpn symbol table; its IPA tokens are NOT part of
+    `symbols`, so its output is not meant for `cleaned_text_to_sequence`.
+    """
     text = text.replace(" ", "▁")
     for m, p in IPA_TABLE2.items():
         text = text.replace(m, p + " ")
@@ -154,9 +168,12 @@ def mora2ipa(text: str) -> str:
         text = text.replace(m, p + " ")
     text = text.rstrip()
     text = text.replace(" ー", ": ")
-    # sokuon (phonemize.py:132-134 behavior)
-    text = re.sub("ッ([^aiɯeo]*) ([aiɯeo])", r"\1: \2", text)
+    # sokuon (phonemize.py:132-134 behavior, but boundary-aware: the
+    # '▁' word boundary stops gemination — a word-final ッ is a glottal
+    # stop, it must not geminate the next word's consonant)
+    text = re.sub("ッ([^aiɯeo▁]*) ([aiɯeo])", r"\1: \2", text)
     text = re.sub("ッ ?([aiɯeo])", r"ʔ \1", text)
+    text = re.sub("ッ(?=▁)", "ʔ ", text)
     text = re.sub("ッ$", "ʔ", text)
     text = text.replace("▁", "▁ ")
     return " ".join(text.split())

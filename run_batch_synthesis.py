@@ -43,15 +43,23 @@ def main():
 
     rows = []
     with open(args.filelist, encoding="utf-8") as f:
-        for line in f:
+        for ln, line in enumerate(f, 1):
             line = line.rstrip("\n")
             if not line:
                 continue
-            parts = line.split("|")
-            if len(parts) == 3:
-                rows.append((parts[0], int(parts[1]), parts[2]))
-            else:
-                rows.append((parts[0], None, parts[1]))
+            if "|" not in line:
+                print(f"skipping line {ln} (no '|' separator): {line!r}")
+                continue
+            name, rest = line.split("|", 1)
+            # `name|sid|text` when the middle field is an integer;
+            # otherwise everything after the first '|' is the text
+            # (which may itself contain '|')
+            sid, text = None, rest
+            if "|" in rest:
+                maybe_sid, after = rest.split("|", 1)
+                if maybe_sid.strip().isdigit():
+                    sid, text = int(maybe_sid), after
+            rows.append((name, sid, text))
 
     os.makedirs(args.out_dir, exist_ok=True)
     total_audio, total_time = 0.0, 0.0

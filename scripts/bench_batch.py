@@ -43,15 +43,18 @@ def main():
     texts = [SENTENCES[i % len(SENTENCES)] for i in range(args.batch)]
 
     # warmup/compile
-    audios, _ = module.synthesize_batch(texts, seed=0)
-    audio_seconds = sum(len(a) for a in audios) / module.sampling_rate
+    module.synthesize_batch(texts, seed=0)
 
-    times = []
+    # audio_seconds from the timed reps themselves (output lengths can
+    # vary per seed when use_sdp samples durations)
+    times, rep_audio = [], []
     for r in range(args.reps):
         t0 = time.perf_counter()
         audios, _ = module.synthesize_batch(texts, seed=r)
         times.append(time.perf_counter() - t0)
+        rep_audio.append(sum(len(a) for a in audios) / module.sampling_rate)
     dt = float(np.median(times))
+    audio_seconds = float(np.median(rep_audio))
     print(f"batch {args.batch}: {dt*1e3:.1f} ms/batch  "
           f"{args.batch/dt:.1f} utt/s  "
           f"{audio_seconds/dt:.0f} audio-seconds synthesized/sec  "

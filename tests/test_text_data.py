@@ -232,3 +232,26 @@ def test_jp_ipa_phonemizer_variant():
     # the two Phonemizer backends (reference phonemize.py:273-279)
     assert Phonemizer("ipa")("シャシン") == "ɕ a ɕ i ɴ"
     assert Phonemizer()("シャシン") == "sy a s i N"
+
+
+def test_jp_ipa_sokuon_at_word_boundary():
+    """Word-final ッ must become a glottal stop, not geminate across the
+    '▁' word boundary or survive as a raw katakana token."""
+    from mb_istft_vits_tpu.text.jp import mora2ipa
+
+    assert mora2ipa("アッ カキ") == "a ʔ ▁ k a k i"
+    assert mora2ipa("アッ アオイ") == "a ʔ ▁ a o i"
+    assert "ッ" not in mora2ipa("アッ カキ")
+
+
+def test_jp_reference_compat_tokenization():
+    """reference_compat=True reproduces the reference's exact (buggy)
+    space handling for checkpoints trained with the reference frontend."""
+    from mb_istft_vits_tpu.text.jp import mora2phoneme
+
+    ref = mora2phoneme("カキ クケ", reference_compat=True)
+    fixed = mora2phoneme("カキ クケ")
+    assert fixed == "k a k i sp k u k e"
+    # the reference glues the pause marker to the next consonant ('spk'),
+    # which the space-split ID mapping then drops
+    assert ref.split(" ") == ["k", "a", "k", "i", "spk", "u", "k", "e"]
