@@ -76,24 +76,6 @@ def _idft_basis(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
     return br, bi
 
 
-def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """Extract overlapping frames: y [B, T] -> [B, F, n_fft] with
-    F = 1 + (T - n_fft) // hop. Uses static reshape/slice when hop | n_fft
-    (the model's hot configs: 1024/256, 16/4), else a gather."""
-    b, t = y.shape
-    num_frames = 1 + (t - n_fft) // hop
-    if n_fft % hop == 0:
-        r = n_fft // hop
-        usable = (num_frames - 1 + r) * hop
-        if usable > t:
-            y = jnp.pad(y, ((0, 0), (0, usable - t)))
-        z = y[:, :usable].reshape(b, -1, hop)  # [B, M, hop]
-        cols = [z[:, j : j + num_frames] for j in range(r)]
-        return jnp.concatenate(cols, axis=-1).reshape(b, num_frames, n_fft)
-    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    return jnp.take(y, jnp.asarray(idx), axis=1)
-
-
 def stft(
     y: jnp.ndarray,
     n_fft: int,
@@ -168,7 +150,7 @@ def spectrogram(
     return stft_magnitude(y, n_fft, hop_length, win_length, center=False)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)  # keyed on frame count: bound host memory
 def _ola_envelope(
     n_fft: int, hop: int, win_length: int, num_frames: int
 ) -> np.ndarray:

@@ -152,7 +152,10 @@ class Synthesizer(nn.Module):
                                   name="emb_g")
 
     def _speaker(self, sid: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
-        if self.cfg.n_speakers > 0 and sid is not None:
+        # emb_g exists only for n_speakers > 1 (setup above); the reference
+        # gates usage on n_speakers > 0 (models.py:661) and crashes for
+        # n_speakers == 1 with a sid — here 0 and 1 are both single-speaker
+        if self.cfg.n_speakers > 1 and sid is not None:
             return self.emb_g(sid)[:, None, :]  # [B, 1, gin]
         return None
 
@@ -370,7 +373,9 @@ class Synthesizer(nn.Module):
         sid_tgt: jnp.ndarray,
     ):
         """Latent-space speaker swap (reference models.py:790-798)."""
-        assert self.cfg.n_speakers > 0
+        assert self.cfg.n_speakers > 1, (
+            "voice conversion needs a multi-speaker model (n_speakers > 1)"
+        )
         g_src = self.emb_g(sid_src)[:, None, :]
         g_tgt = self.emb_g(sid_tgt)[:, None, :]
         z, m_q, logs_q, y_mask = self.enc_q(y, y_lengths, g=g_src,

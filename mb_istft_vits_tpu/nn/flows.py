@@ -84,13 +84,15 @@ class ResidualCouplingLayer(nn.Module):
             p_dropout=self.p_dropout,
             name="enc",
         )(h, x_mask, g=g, train=train)
+        # post conv weight AND bias zero-init: the coupling is the
+        # identity at init (reference modules.py:331-332)
         stats = Conv1d(
             half * (2 - int(self.mean_only)),
             1,
             kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
             name="post",
         )(h) * x_mask
-        # note: post conv bias is zero-init to match reference modules.py:331-332
         if not self.mean_only:
             m, logs = stats[..., :half], stats[..., half:]
         else:
@@ -131,10 +133,13 @@ class ConvFlow(nn.Module):
             self.filter_channels, self.kernel_size, self.n_layers,
             p_dropout=0.0, name="convs",
         )(h, x_mask, g=g, train=train)
+        # weight AND bias zero-init -> identity spline at init
+        # (reference modules.py:370-371)
         h = Conv1d(
             half * (self.num_bins * 3 - 1),
             1,
             kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
             name="proj",
         )(h) * x_mask
 

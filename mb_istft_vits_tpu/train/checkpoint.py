@@ -56,19 +56,28 @@ def load_generator_params(path: str) -> Any:
     target tree and returns the `params_g` subtree."""
     import orbax.checkpoint as ocp
 
+    def _is_ckpt_dir(p: str) -> bool:
+        # an orbax step directory carries its metadata files
+        return os.path.isdir(p) and any(
+            os.path.exists(os.path.join(p, m))
+            for m in ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt")
+        )
+
     path = os.path.abspath(path)
     if os.path.isdir(os.path.join(path, "ckpt")):
         step = latest_checkpoint_step(path)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {path}/ckpt")
         path = os.path.join(path, "ckpt", str(step))
-    elif os.path.basename(path) == "ckpt" or (
-        os.path.isdir(path) and not os.path.basename(path).isdigit()
-        and any(d.isdigit() for d in os.listdir(path))
-    ):
-        steps = [int(d) for d in os.listdir(path) if d.isdigit()]
+    elif os.path.isdir(path) and not _is_ckpt_dir(path):
+        # a ckpt/ root (digit-named step subdirs that ARE checkpoints)
+        steps = [int(d) for d in os.listdir(path)
+                 if d.isdigit() and _is_ckpt_dir(os.path.join(path, d))]
         if not steps:
-            raise FileNotFoundError(f"no checkpoints under {path}")
+            raise FileNotFoundError(
+                f"{path} is neither a model dir with ckpt/, a ckpt/ root, "
+                f"nor an orbax checkpoint directory"
+            )
         path = os.path.join(path, str(max(steps)))
     ckptr = ocp.StandardCheckpointer()
     state = ckptr.restore(path, target=None)

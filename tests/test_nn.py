@@ -368,3 +368,34 @@ def test_transformer_decoder_causal(rng):
     y3 = np.asarray(m.apply(params, jnp.asarray(x), x_mask,
                             jnp.asarray(h * 2), h_mask))
     assert not np.allclose(y1, y3)
+
+
+def test_coupling_and_convflow_identity_at_init(rng):
+    """Both flow layers zero-init their final conv (weight AND bias), so
+    each is the identity transform at init with zero logdet — the
+    reference's training-start dynamics (modules.py:331-332,370-371)."""
+    x = jnp.asarray(rng.randn(2, 12, 8).astype(np.float32))
+    mask = jnp.ones((2, 12, 1), jnp.float32)
+
+    m = ResidualCouplingLayer(channels=8, hidden_channels=16, kernel_size=5,
+                              dilation_rate=1, n_layers=2, mean_only=True)
+    params = m.init(jax.random.PRNGKey(0), x, mask)
+    y, logdet = m.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logdet), 0.0, atol=1e-6)
+
+    # ConvFlow at init is the *uniform* spline (not exactly identity —
+    # softplus(0) derivatives — same as the reference); parity requires
+    # the proj conv to start at zero weight AND bias
+    # (reference modules.py:370-371)
+    cf = ConvFlow(in_channels=8, filter_channels=16, kernel_size=3,
+                  n_layers=2)
+    params = cf.init(jax.random.PRNGKey(1), x, mask)
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["proj"]["kernel"]), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["proj"]["bias"]), 0.0)
+    y, _ = cf.apply(params, x, mask)
+    # the zero-init warp is input-value dependent but x0 passes through
+    np.testing.assert_allclose(np.asarray(y)[..., :4],
+                               np.asarray(x)[..., :4], atol=1e-6)
