@@ -130,6 +130,58 @@ def test_train_step_sharded_8_devices(rng):
     assert np.isfinite(float(metrics["loss/d/total"]))
 
 
+def test_train_step_tensor_parallel_2d_mesh(rng):
+    """Data × model 2-D mesh: params tensor-sharded over the 'model'
+    axis, batch sharded over 'data'. The train step itself is
+    sharding-agnostic — XLA SPMD partitions the matmuls and inserts the
+    collectives — so TP must reproduce the single-device step numerics
+    (same rng fold; threefry values are sharding-invariant)."""
+    assert jax.device_count() >= 4, jax.devices()
+    from jax.sharding import PartitionSpec as P
+
+    from mb_istft_vits_tpu.parallel import (
+        create_2d_mesh,
+        param_spec,
+        shard_batch,
+        shard_train_state_tp,
+    )
+
+    cfg = tiny_config()
+    batch = synth_batch(rng, cfg, b=8)
+    state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, synth, disc)
+
+    # single-device reference step
+    ref_state, ref_metrics = step(state, batch)
+
+    # 2 data replicas × 2 model shards
+    mesh = create_2d_mesh(n_model=2, n_data=2)
+    state2, _, _ = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    state2 = shard_train_state_tp(state2, mesh)
+    sharded = shard_batch(batch, mesh)
+    step2 = make_train_step(cfg, synth, disc)
+    state2, metrics = step2(state2, sharded)
+
+    # the big conv kernels really are sharded over 'model'
+    n_sharded = sum(
+        1 for leaf in jax.tree.leaves(state2.params_g)
+        if leaf.ndim >= 2
+        and leaf.sharding.spec == param_spec(leaf.shape, 2)
+        and any(s is not None for s in leaf.sharding.spec)
+    )
+    assert n_sharded >= 10, n_sharded
+
+    for k in ("loss/g/total", "loss/d/total", "loss/g/mel"):
+        assert np.isfinite(float(metrics[k])), k
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=2e-3, err_msg=k
+        )
+    # updated params agree with the unsharded step
+    ref_leaf = np.asarray(jax.tree.leaves(ref_state.params_g)[0])
+    tp_leaf = np.asarray(jax.tree.leaves(state2.params_g)[0])
+    np.testing.assert_allclose(tp_leaf, ref_leaf, atol=2e-4)
+
+
 def test_lr_schedule():
     cfg = tiny_config()
     from mb_istft_vits_tpu.train.step import make_lr_schedule
@@ -140,6 +192,37 @@ def test_lr_schedule():
     # decays once per epoch (steps_per_epoch=10)
     assert float(sched(9)) == pytest.approx(lr0)
     assert float(sched(10)) == pytest.approx(lr0 * cfg.train.lr_decay)
+
+
+def test_load_generator_params_path_resolution(tmp_path):
+    """Serving checkpoint loader accepts a model dir, a ckpt/ root, or a
+    specific step dir (latest step wins for the first two), and rejects
+    directories that are none of those."""
+    from mb_istft_vits_tpu.train.checkpoint import (
+        load_generator_params,
+        save_checkpoint,
+    )
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    save_checkpoint(str(model_dir), 3,
+                    {"params_g": {"w": np.full(4, 3.0, np.float32)}})
+    save_checkpoint(str(model_dir), 12,
+                    {"params_g": {"w": np.full(4, 12.0, np.float32)}})
+
+    for path, want in [
+        (model_dir, 12.0),          # model dir -> latest step
+        (model_dir / "ckpt", 12.0),  # ckpt root -> latest step
+        (model_dir / "ckpt" / "3", 3.0),  # explicit step dir
+    ]:
+        w = np.asarray(load_generator_params(str(path))["w"])
+        np.testing.assert_array_equal(w, np.full(4, want, np.float32))
+
+    empty = tmp_path / "not_a_ckpt"
+    empty.mkdir()
+    (empty / "7").mkdir()  # digit-named but not an orbax checkpoint
+    with pytest.raises(FileNotFoundError):
+        load_generator_params(str(empty))
 
 
 def test_summarize_audio_without_soundfile(tmp_path):
