@@ -46,12 +46,33 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     1-device SPMD inputs take a pathological dispatch path on some TPU
     runtimes (measured ~1000× slower per step on the axon platform) and
     buy nothing — uncommitted arrays land on the same chip.
+
+    Multi-host (jax.process_count() > 1): `batch` is this host's LOCAL
+    shard (the rank-strided BucketedBatcher slice, train.py) and the
+    mesh spans all hosts' devices — jax.device_put cannot address remote
+    devices, so the global array is assembled with
+    `jax.make_array_from_process_local_data` (each host contributes its
+    slice; no data ever moves over DCN for input feeding).
     """
     if mesh.size == 1:
         return jax.tree.map(
             lambda x: None if x is None else jax.device_put(x), batch
         )
     sharding = batch_sharding(mesh, axis_name)
+
+    if jax.process_count() > 1:
+        n_proc = jax.process_count()
+
+        def put_global(x):
+            if x is None:
+                return None
+            local = np.asarray(x)
+            global_shape = (local.shape[0] * n_proc,) + local.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, local, global_shape
+            )
+
+        return jax.tree.map(put_global, batch)
 
     def put(x):
         if x is None:

@@ -1,0 +1,57 @@
+"""Multi-host SPMD: 2 real processes × 2 virtual CPU devices each.
+
+The reference is explicitly single-node (NCCL env:// rendezvous,
+train_latest.py:46-51). Going beyond it, the trainer supports multi-host
+via jax.distributed.initialize (train.py) with host-local input feeding
+(parallel/mesh.py:shard_batch). This test runs the actual cross-process
+path: coordinator rendezvous, global mesh over both processes' devices,
+make_array_from_process_local_data batch assembly, and a collective
+reduction that must observe both hosts' data.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_global_batch():
+    port = _free_port()
+    here = os.path.dirname(__file__)
+    worker = os.path.join(here, "multihost_worker.py")
+    repo_root = os.path.dirname(here)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo_root,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    joined = "\n---\n".join(outs)
+    if "UNIMPLEMENTED" in joined or "gloo" in joined.lower() and any(
+        p.returncode for p in procs
+    ):
+        pytest.skip(f"CPU cross-process collectives unavailable:\n{joined}")
+    assert all(p.returncode == 0 for p in procs), joined
+    assert "proc 0: ok" in joined and "proc 1: ok" in joined, joined
