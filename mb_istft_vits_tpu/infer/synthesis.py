@@ -482,6 +482,19 @@ class SynthesisModule:
                 best, best_c = s, c
         return best
 
+    def _chunk_plan(self, t_total: int, chunk_frames: int,
+                    overlap_frames: int) -> List[Tuple[int, int, int]]:
+        """Chunk windows (pos, lo, hi): body starts at frame `pos`, the
+        decoded window covers z[lo:hi] (body + leading/trailing overlap)."""
+        plan: List[Tuple[int, int, int]] = []
+        pos = 0
+        while pos < t_total:
+            plan.append((pos,
+                         max(0, pos - overlap_frames),
+                         min(t_total, pos + chunk_frames + overlap_frames)))
+            pos += chunk_frames
+        return plan
+
     def stream_from_latents(
         self,
         z: np.ndarray,
@@ -496,27 +509,18 @@ class SynthesisModule:
         strategies (infer.ipynb cells 3-12) and the repaired
         synthesize_from_shared_latents. xcorr_align adds the notebooks'
         cross-correlation shift search at each join (cell 8 strategy)."""
-        spf = self._samples_per_frame()
         t_total = z.shape[0]
         sid_arr = self._sid(sid)
         dec = self._decode_jit(chunk_frames + 2 * overlap_frames)
-
-        ov_samps = overlap_frames * spf
-        fade_in = np.linspace(0.0, 1.0, ov_samps, dtype=np.float32)
-        fade_out = 1.0 - fade_in
 
         # plan all windows up front, then run a one-deep pipeline: chunk
         # i+1 is dispatched before chunk i's result is fetched, so device
         # compute and D2H transfer overlap (time-to-next-chunk is
         # max(compute, fetch) instead of their sum — this is what makes
         # streaming viable over a high-RTT dispatch link)
-        plan: List[Tuple[int, int, int]] = []
-        pos = 0
-        while pos < t_total:
-            plan.append((pos,
-                         max(0, pos - overlap_frames),
-                         min(t_total, pos + chunk_frames + overlap_frames)))
-            pos += chunk_frames
+        plan = self._chunk_plan(t_total, chunk_frames, overlap_frames)
+        if not plan:
+            return
 
         def dispatch(i: int):
             _, lo, hi = plan[i]
@@ -527,14 +531,36 @@ class SynthesisModule:
             window[0, : hi - lo] = z[lo:hi]
             return dec(self.params, jnp.asarray(window), sid_arr)
 
-        if not plan:
-            return
+        def wavs():
+            pending = dispatch(0)
+            for i in range(len(plan)):
+                nxt = dispatch(i + 1) if i + 1 < len(plan) else None
+                wav = np.asarray(pending)[0, :, 0]
+                pending = nxt
+                yield wav
+
+        yield from self._ola_join(plan, wavs(), t_total, chunk_frames,
+                                  overlap_frames, xcorr_align, max_shift)
+
+    def _ola_join(
+        self,
+        plan: List[Tuple[int, int, int]],
+        wavs: Iterator[np.ndarray],
+        t_total: int,
+        chunk_frames: int,
+        overlap_frames: int,
+        xcorr_align: bool,
+        max_shift: int,
+    ) -> Iterator[np.ndarray]:
+        """Waveform overlap-add crossfade join over per-chunk decodes
+        (`wavs` yields the raw decoded window for each plan entry)."""
+        spf = self._samples_per_frame()
+        ov_samps = overlap_frames * spf
+        fade_in = np.linspace(0.0, 1.0, ov_samps, dtype=np.float32)
+        fade_out = 1.0 - fade_in
+
         prev_tail: Optional[np.ndarray] = None
-        pending = dispatch(0)
-        for i, (pos, lo, hi) in enumerate(plan):
-            nxt = dispatch(i + 1) if i + 1 < len(plan) else None
-            wav = np.asarray(pending)[0, :, 0]
-            pending = nxt
+        for (pos, lo, hi), wav in zip(plan, wavs):
             wav = wav[: (hi - lo) * spf]
             # valid region of this chunk inside `wav`
             start = (pos - lo) * spf
@@ -574,6 +600,58 @@ class SynthesisModule:
     ) -> np.ndarray:
         """Concatenated chunked decode (repairs synthesis_module.py:306-353)."""
         return np.concatenate(list(self.stream_from_latents(z, sid, **kwargs)))
+
+    def decode_chunks_batched(
+        self,
+        z: np.ndarray,
+        sid: Optional[int] = None,
+        chunk_frames: int = 64,
+        overlap_frames: int = 8,
+        xcorr_align: bool = False,
+        max_shift: int = 32,
+    ) -> np.ndarray:
+        """Sequence-parallel offline variant of the chunked decode: ALL
+        chunk windows of one long utterance are stacked into a single
+        batch and decoded in ONE dispatch — with a multi-chip mesh the
+        chunk batch shards over the 'data' axis, fanning one utterance
+        out across chips (SURVEY §5.7); on one chip it still collapses N
+        dispatch round trips into one. The join is identical to
+        stream_from_latents, so outputs match the streaming path.
+        """
+        t_total = z.shape[0]
+        plan = self._chunk_plan(t_total, chunk_frames, overlap_frames)
+        if not plan:
+            return np.zeros((0,), np.float32)
+        w = chunk_frames + 2 * overlap_frames
+        n = len(plan)
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        nb = _next_bucket(max(n, n_dev), self.BATCH_BUCKETS)
+        if nb % n_dev:
+            nb += n_dev - nb % n_dev
+        windows = np.zeros((nb, w, z.shape[-1]), np.float32)
+        for i, (pos, lo, hi) in enumerate(plan):
+            windows[i, : hi - lo] = z[lo:hi]
+        if self.cfg.n_speakers > 0:
+            sid_arr = jnp.full((nb,), 0 if sid is None else int(sid),
+                               jnp.int32)
+        else:
+            sid_arr = None
+        zj = jnp.asarray(windows)
+        if self.mesh is not None:
+            from mb_istft_vits_tpu.parallel import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            zj = jax.device_put(zj, sh)
+            if sid_arr is not None:
+                sid_arr = jax.device_put(sid_arr, sh)
+        dec = self._decode_jit(w)
+        wav = np.asarray(jax.device_get(dec(self.params, zj, sid_arr)))
+        spf = self._samples_per_frame()
+        chunk_wavs = iter([wav[i, :, 0] for i in range(n)])
+        return np.concatenate(list(self._ola_join(
+            plan, chunk_wavs, t_total, chunk_frames, overlap_frames,
+            xcorr_align, max_shift,
+        ))).astype(np.float32)[: t_total * spf]
 
     # ------------------------------------------------------------------
     # spectrogram-domain chunk joining (the reference notebooks' strategies
@@ -675,13 +753,7 @@ class SynthesisModule:
         ov_f = overlap_frames * up
         fade_in = np.linspace(0.0, 1.0, ov_f, dtype=np.float32)
 
-        plan: List[Tuple[int, int, int]] = []
-        pos = 0
-        while pos < t_total:
-            plan.append((pos,
-                         max(0, pos - overlap_frames),
-                         min(t_total, pos + chunk_frames + overlap_frames)))
-            pos += chunk_frames
+        plan = self._chunk_plan(t_total, chunk_frames, overlap_frames)
 
         # one-deep pipeline like stream_from_latents: chunk i+1 is
         # dispatched before chunk i's (spec, phase) is fetched, so device

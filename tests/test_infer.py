@@ -225,6 +225,44 @@ def test_synthesize_batch_multichip(module, tmp_path):
     assert timings["utterances_per_sec"] > 0
 
 
+def test_decode_chunks_batched_matches_streaming(module):
+    """The one-dispatch batched chunk decode must reproduce the
+    pipelined streaming path exactly (same per-chunk programs, shared
+    _ola_join)."""
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=3)
+    streamed = module.synthesize_from_shared_latents(
+        z, sid, chunk_frames=16, overlap_frames=4)
+    batched = module.decode_chunks_batched(
+        z, sid, chunk_frames=16, overlap_frames=4)
+    assert len(batched) == len(streamed) == y_len * module.hop_length
+    np.testing.assert_allclose(batched, streamed, atol=5e-5)
+
+
+def test_decode_chunks_batched_multichip(module, tmp_path):
+    """A single long utterance's chunks fan out over a 4-device mesh
+    (sequence-parallel offline decode, SURVEY.md §5.7 plan) and match
+    the single-device batched result."""
+    import jax
+
+    assert jax.device_count() >= 4
+    from mb_istft_vits_tpu.infer.synthesis import SynthesisModule
+    from mb_istft_vits_tpu.parallel import create_mesh
+
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(TINY_CONFIG))
+    sharded = SynthesisModule(str(cfg_path), params=module.params,
+                              mesh=create_mesh(4))
+    sharded.TEXT_BUCKETS = module.TEXT_BUCKETS
+    sharded.FRAME_BUCKETS = module.FRAME_BUCKETS
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=13)
+    single = module.decode_chunks_batched(
+        z, sid, chunk_frames=16, overlap_frames=4)
+    fanned = sharded.decode_chunks_batched(
+        z, sid, chunk_frames=16, overlap_frames=4)
+    assert len(fanned) == len(single)
+    np.testing.assert_allclose(fanned, single, atol=5e-4)
+
+
 def test_chunked_decode_xcorr_align(module):
     z, y_len, sid = module.prepare_shared_latents(TEXT, seed=7)
     full = module.infer_z_only(z, sid)
