@@ -147,8 +147,17 @@ def import_torch_generator(path: str, cfg) -> Dict:
             _set(params, dst + ("bias",), take(src + ".bias"))
 
     def wn_conv(dst, src, transpose=False):
-        v = take(src + ".weight_v")
-        g = take(src + ".weight_g")
+        if src + ".weight_v" in sd:
+            v = take(src + ".weight_v")
+            g = take(src + ".weight_g")
+        else:
+            # checkpoint saved after remove_weight_norm (the reference's
+            # deploy path, models.py:299-306): plain .weight — refactor
+            # back into (v, g) with g = ||w|| along torch dim=0 so the
+            # reconstructed w = v * g / ||v|| equals w exactly
+            v = take(src + ".weight")
+            g = np.sqrt((v.astype(np.float64) ** 2)
+                        .sum(axis=tuple(range(1, v.ndim)))).astype(v.dtype)
         if transpose:
             _set(params, dst + ("v",), _convT1d_w(v))
             _set(params, dst + ("g",), g.reshape(-1))  # per-in-channel

@@ -167,6 +167,93 @@ def test_torch_checkpoint_roundtrip_inference(tmp_path, rng, monkeypatch,
             exported[k].numpy(), orig[k].numpy(), err_msg=k)
 
 
+def test_torch_deploy_checkpoint_import(tmp_path, rng, monkeypatch):
+    """Deploy checkpoints — saved AFTER the reference's remove_weight_norm
+    (models.py:299-306), so weight-normed convs carry a plain `weight`
+    instead of (weight_v, weight_g) — must import to the same effective
+    weights as the training-time checkpoint."""
+    _stub_reference_deps(monkeypatch)
+    import importlib
+
+    import models as ref_models
+
+    importlib.reload(ref_models)
+
+    kw = dict(MODEL_KW)
+    kw["mb_istft_vits"] = True
+    kw["subbands"] = 4
+    torch.manual_seed(0)
+    ref = ref_models.SynthesizerTrn(40, 513, 32, **kw)
+    ref.eval()
+    sd = ref.state_dict()
+
+    normal_path = tmp_path / "G_train.pth"
+    torch.save({"model": sd}, normal_path)
+
+    # simulate remove_weight_norm over the whole state dict: fold every
+    # (weight_v, weight_g) pair into a plain weight (torch dim=0 norm)
+    folded = {}
+    for k, v in sd.items():
+        if k.endswith(".weight_v"):
+            g = sd[k[: -len("_v")] + "_g"]
+            norm = v.norm(dim=tuple(range(1, v.dim())), keepdim=True)
+            folded[k[: -len(".weight_v")] + ".weight"] = g * v / norm
+        elif k.endswith(".weight_g"):
+            continue
+        else:
+            folded[k] = v
+    deploy_path = tmp_path / "G_deploy.pth"
+    torch.save({"model": folded}, deploy_path)
+
+    cfg = ModelConfig(
+        n_vocab=40, spec_channels=513, segment_size=32,
+        mb_istft_vits=True, subbands=4,
+        **{k: tuple(v) if isinstance(v, list) else v
+           for k, v in MODEL_KW.items()},
+    )
+    p_train = import_torch_generator(str(normal_path), cfg)
+    p_deploy = import_torch_generator(str(deploy_path), cfg)
+
+    def flatten(tree, prefix=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from flatten(v, prefix + (k,))
+            else:
+                yield prefix + (k,), v
+
+    t_train = dict(flatten(p_train))
+    t_deploy = dict(flatten(p_deploy))
+    assert set(t_train) == set(t_deploy)
+
+    def effective(tree):
+        """Reconstruct w = v * g / ||v|| the way the layers do."""
+        out = {}
+        for path, v in tree.items():
+            if path[-1] == "v":
+                g = tree[path[:-1] + ("g",)]
+                # the only ConvTranspose1d layers are the decoder
+                # upsamplers (ups_*): per-IN-channel g; convs: per-OUT
+                if path[-2].startswith("ups_"):
+                    axes, bc = (0, 2), (1, -1, 1)
+                else:
+                    axes, bc = (0, 1), (1, 1, -1)
+                n = np.sqrt((np.asarray(v) ** 2).sum(axis=axes) + 1e-12)
+                out[path[:-1]] = np.asarray(v) * (
+                    np.asarray(g) / n
+                ).reshape(bc)
+            elif path[-1] != "g":
+                out[path] = np.asarray(v)
+        return out
+
+    w_train = effective(t_train)
+    w_deploy = effective(t_deploy)
+    for path in w_train:
+        np.testing.assert_allclose(
+            w_deploy[path], w_train[path], atol=1e-6,
+            err_msg="/".join(path),
+        )
+
+
 def test_torch_discriminator_import(tmp_path, rng, monkeypatch):
     _stub_reference_deps(monkeypatch)
     import importlib
