@@ -199,7 +199,10 @@ class SynthesisModule:
                 {"params": params}, z, sid,
                 method=Synthesizer.decode,
             )
-            return o
+            # int16 PCM on-device: 2x fewer D2H bytes than f32 over the
+            # dispatch link (same policy as _build_infer)
+            pcm = jnp.clip(o[..., 0].astype(jnp.float32), -1.0, 1.0)
+            return jnp.round(pcm * 32767.0).astype(jnp.int16)
 
         return jax.jit(fn)
 
@@ -535,7 +538,7 @@ class SynthesisModule:
             pending = dispatch(0)
             for i in range(len(plan)):
                 nxt = dispatch(i + 1) if i + 1 < len(plan) else None
-                wav = np.asarray(pending)[0, :, 0]
+                wav = np.asarray(pending, np.float32)[0] / 32767.0
                 pending = nxt
                 yield wav
 
@@ -624,10 +627,7 @@ class SynthesisModule:
             return np.zeros((0,), np.float32)
         w = chunk_frames + 2 * overlap_frames
         n = len(plan)
-        n_dev = self.mesh.size if self.mesh is not None else 1
-        nb = _next_bucket(max(n, n_dev), self.BATCH_BUCKETS)
-        if nb % n_dev:
-            nb += n_dev - nb % n_dev
+        nb = self._batch_bucket(n)
         windows = np.zeros((nb, w, z.shape[-1]), np.float32)
         for i, (pos, lo, hi) in enumerate(plan):
             windows[i, : hi - lo] = z[lo:hi]
@@ -636,18 +636,15 @@ class SynthesisModule:
                                jnp.int32)
         else:
             sid_arr = None
-        zj = jnp.asarray(windows)
-        if self.mesh is not None:
-            from mb_istft_vits_tpu.parallel import batch_sharding
-
-            sh = batch_sharding(self.mesh)
-            zj = jax.device_put(zj, sh)
-            if sid_arr is not None:
-                sid_arr = jax.device_put(sid_arr, sh)
+        zj, sid_arr = self._shard_to_mesh(jnp.asarray(windows), sid_arr)
         dec = self._decode_jit(w)
-        wav = np.asarray(jax.device_get(dec(self.params, zj, sid_arr)))
+        # the fetch carries the padded bucket rows too — int16 halves the
+        # bytes, and slicing to [:n] on device would cost an extra
+        # dispatch round trip, which is worse on the high-RTT link
+        wav = np.asarray(jax.device_get(dec(self.params, zj, sid_arr)),
+                         np.float32) / 32767.0
         spf = self._samples_per_frame()
-        chunk_wavs = iter([wav[i, :, 0] for i in range(n)])
+        chunk_wavs = iter([wav[i] for i in range(n)])
         return np.concatenate(list(self._ola_join(
             plan, chunk_wavs, t_total, chunk_frames, overlap_frames,
             xcorr_align, max_shift,
@@ -828,14 +825,34 @@ class SynthesisModule:
         zp = np.zeros((1, bucket, z.shape[-1]), np.float32)
         zp[0, : z.shape[0]] = z
         dec = self._decode_jit(bucket)
-        wav = np.asarray(dec(self.params, jnp.asarray(zp), self._sid(sid)))
-        return wav[0, : z.shape[0] * self._samples_per_frame(), 0]
+        wav = np.asarray(dec(self.params, jnp.asarray(zp), self._sid(sid)),
+                         np.float32) / 32767.0
+        return wav[0, : z.shape[0] * self._samples_per_frame()]
 
     # ------------------------------------------------------------------
     # batched offline synthesis (reference infer.ipynb cell 13: batch
     # synthesis over a filelist) — many utterances per compiled program
     # ------------------------------------------------------------------
     BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+    def _batch_bucket(self, n: int) -> int:
+        """Batch count -> compile bucket, rounded up to mesh-divisible."""
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        nb = _next_bucket(max(n, n_dev), self.BATCH_BUCKETS)
+        if nb % n_dev:
+            nb += n_dev - nb % n_dev
+        return nb
+
+    def _shard_to_mesh(self, *arrays):
+        """Shard each array's leading dim over the serving mesh (no-op
+        without a mesh; None entries pass through)."""
+        if self.mesh is None:
+            return arrays
+        from mb_istft_vits_tpu.parallel import batch_sharding
+
+        sh = batch_sharding(self.mesh)
+        return tuple(a if a is None else jax.device_put(a, sh)
+                     for a in arrays)
 
     def synthesize_batch(
         self,
@@ -853,10 +870,7 @@ class SynthesisModule:
         t0 = time.perf_counter()
         ids_list = [self.text_to_ids(t, cleaned) for t in texts]
         n = len(ids_list)
-        n_dev = self.mesh.size if self.mesh is not None else 1
-        nb = _next_bucket(max(n, n_dev), self.BATCH_BUCKETS)
-        if nb % n_dev:  # pad to a mesh-divisible batch
-            nb += n_dev - nb % n_dev
+        nb = self._batch_bucket(n)
         t_x = _next_bucket(max(len(i) for i in ids_list), self.TEXT_BUCKETS)
         x = np.zeros((nb, t_x), np.int32)
         x_lengths = np.ones((nb,), np.int32)
@@ -873,14 +887,7 @@ class SynthesisModule:
             )[:nb]
         else:
             sid_arr = None
-        if self.mesh is not None:
-            from mb_istft_vits_tpu.parallel import batch_sharding
-
-            sh = batch_sharding(self.mesh)
-            x = jax.device_put(x, sh)
-            x_lengths = jax.device_put(x_lengths, sh)
-            if sid_arr is not None:
-                sid_arr = jax.device_put(sid_arr, sh)
+        x, x_lengths, sid_arr = self._shard_to_mesh(x, x_lengths, sid_arr)
         rng = jax.random.PRNGKey(seed)
         frames = self._probe_jit_call(x, x_lengths, sid_arr, length_scale,
                                       noise_scale_w, rng)

@@ -81,7 +81,12 @@ def launcher() -> None:
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:  # hung rank: kill, don't orphan
+                p.kill()
     print("\n--- rank outputs ---")
     for o in outs:
         print(o)

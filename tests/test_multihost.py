@@ -49,9 +49,12 @@ def test_two_process_global_batch():
             if p.poll() is None:
                 p.kill()
     joined = "\n---\n".join(outs)
-    if "UNIMPLEMENTED" in joined or "gloo" in joined.lower() and any(
-        p.returncode for p in procs
-    ):
+    failed = any(p.returncode != 0 for p in procs)
+    # skip ONLY for the specific "no CPU collectives backend" signature —
+    # any other cross-process failure is a real regression and must fail
+    unavailable = ("UNIMPLEMENTED" in joined
+                   or "collectives implementation" in joined.lower())
+    if failed and unavailable:
         pytest.skip(f"CPU cross-process collectives unavailable:\n{joined}")
-    assert all(p.returncode == 0 for p in procs), joined
+    assert not failed, joined
     assert "proc 0: ok" in joined and "proc 1: ok" in joined, joined
