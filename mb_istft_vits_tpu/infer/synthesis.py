@@ -730,6 +730,7 @@ class SynthesisModule:
         overlap_frames: int = 8,
         frame_xcorr: bool = False,
         max_shift: int = 4,
+        batched: bool = False,
     ) -> np.ndarray:
         """Chunked decode joined in the *spectrogram* domain: each z chunk
         is decoded only to its (spec, phase) head output, overlapping frames
@@ -737,11 +738,13 @@ class SynthesisModule:
         tail runs over the joined spectrogram — so there is no waveform
         discontinuity at chunk joins by construction. ``frame_xcorr`` adds
         the notebooks' frame-shift search at each join (cell 11 strategy).
+        ``batched`` decodes ALL chunks in one dispatch (mesh-sharded when
+        a serving mesh is set) — 2 round trips total (decode + tail)
+        regardless of utterance length.
         """
         t_total = z.shape[0]
         if t_total == 0:
             return np.zeros((0,), np.float32)
-        sid_arr = self._sid(sid)
         up = 1
         for r in self.cfg.upsample_rates:
             up *= r
@@ -752,24 +755,48 @@ class SynthesisModule:
 
         plan = self._chunk_plan(t_total, chunk_frames, overlap_frames)
 
-        # one-deep pipeline like stream_from_latents: chunk i+1 is
-        # dispatched before chunk i's (spec, phase) is fetched, so device
-        # compute and the high-RTT D2H transfer overlap
-        def dispatch(i: int):
-            _, lo, hi = plan[i]
-            window = np.zeros((1, win_frames, z.shape[-1]), np.float32)
-            window[0, : hi - lo] = z[lo:hi]
-            return dec(self.params, jnp.asarray(window), sid_arr)
+        if batched:
+            n = len(plan)
+            nb = self._batch_bucket(n)
+            windows = np.zeros((nb, win_frames, z.shape[-1]), np.float32)
+            for i, (pos, lo, hi) in enumerate(plan):
+                windows[i, : hi - lo] = z[lo:hi]
+            sid_b = (jnp.full((nb,), 0 if sid is None else int(sid),
+                              jnp.int32)
+                     if self.cfg.n_speakers > 0 else None)
+            zj, sid_b = self._shard_to_mesh(jnp.asarray(windows), sid_b)
+            spec_all, phase_all = jax.device_get(
+                dec(self.params, zj, sid_b))
+
+            def cspecs():
+                for i in range(n):
+                    yield (np.asarray(spec_all[i], np.float32)
+                           * np.exp(1j * np.asarray(phase_all[i],
+                                                    np.float32)))
+        else:
+            # one-deep pipeline like stream_from_latents: chunk i+1 is
+            # dispatched before chunk i's (spec, phase) is fetched, so
+            # device compute and the high-RTT D2H transfer overlap
+            sid_arr = self._sid(sid)
+
+            def dispatch(i: int):
+                _, lo, hi = plan[i]
+                window = np.zeros((1, win_frames, z.shape[-1]), np.float32)
+                window[0, : hi - lo] = z[lo:hi]
+                return dec(self.params, jnp.asarray(window), sid_arr)
+
+            def cspecs():
+                pending = dispatch(0)
+                for i in range(len(plan)):
+                    nxt = dispatch(i + 1) if i + 1 < len(plan) else None
+                    spec, phase = pending
+                    yield (np.asarray(spec, np.float32)[0]
+                           * np.exp(1j * np.asarray(phase, np.float32)[0]))
+                    pending = nxt
 
         joined: List[np.ndarray] = []  # complex spectrum frames [F, ...]
         prev_tail: Optional[np.ndarray] = None
-        pending = dispatch(0)
-        for i, (pos, lo, hi) in enumerate(plan):
-            nxt = dispatch(i + 1) if i + 1 < len(plan) else None
-            spec, phase = pending
-            cspec = (np.asarray(spec, np.float32)[0]
-                     * np.exp(1j * np.asarray(phase, np.float32)[0]))
-            pending = nxt
+        for (pos, lo, hi), cspec in zip(plan, cspecs()):
             start_f = (pos - lo) * up
             end_f = start_f + min(chunk_frames, t_total - pos) * up
             valid_f = (hi - lo) * up  # frames actually decoded from z

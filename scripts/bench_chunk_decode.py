@@ -39,6 +39,10 @@ def main():
             z, sid, chunk_frames=256, overlap_frames=16),
         "batched_one_dispatch": lambda: module.decode_chunks_batched(
             z, sid, chunk_frames=256, overlap_frames=16),
+        "spec_join_pipelined": lambda: module.decode_spec_join(
+            z, sid, chunk_frames=256, overlap_frames=16),
+        "spec_join_batched": lambda: module.decode_spec_join(
+            z, sid, chunk_frames=256, overlap_frames=16, batched=True),
         "full_decode": lambda: module.infer_z_only(z, sid),
     }
     for name, fn in strategies.items():

@@ -263,6 +263,18 @@ def test_decode_chunks_batched_multichip(module, tmp_path):
     np.testing.assert_allclose(fanned, single, atol=5e-4)
 
 
+def test_spec_join_batched_matches_pipelined(module):
+    """decode_spec_join(batched=True) — all chunks in one dispatch —
+    must reproduce the pipelined spec-domain join."""
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=5)
+    pipelined = module.decode_spec_join(
+        z, sid, chunk_frames=16, overlap_frames=4)
+    one_shot = module.decode_spec_join(
+        z, sid, chunk_frames=16, overlap_frames=4, batched=True)
+    assert len(one_shot) == len(pipelined) == y_len * module.hop_length
+    np.testing.assert_allclose(one_shot, pipelined, atol=5e-5)
+
+
 def test_chunked_decode_xcorr_align(module):
     z, y_len, sid = module.prepare_shared_latents(TEXT, seed=7)
     full = module.infer_z_only(z, sid)
