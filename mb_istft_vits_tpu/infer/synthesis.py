@@ -232,6 +232,13 @@ class SynthesisModule:
             return jnp.asarray([0 if sid is None else int(sid)], jnp.int32)
         return None
 
+    def _frame_bucket_capped(self, n: int) -> int:
+        """Frame bucket for n frames, hard-capped at MAX_FRAMES — the cap
+        must bind BEFORE a program is compiled, or a duration blow-up
+        (absurd length_scale, out-of-distribution text) compiles an
+        unboundedly large executable."""
+        return min(_next_bucket(n, self.FRAME_BUCKETS), self.MAX_FRAMES)
+
     def _frames_bucket(self, x, x_lengths, sid, length_scale, noise_scale_w,
                        rng) -> int:
         """Exact output-frame bucket via a cheap jitted duration probe
@@ -239,7 +246,7 @@ class SynthesisModule:
         at a too-large frame bucket."""
         frames = int(self._probe_jit_call(x, x_lengths, sid, length_scale,
                                           noise_scale_w, rng)[0])
-        return _next_bucket(frames, self.FRAME_BUCKETS)
+        return self._frame_bucket_capped(frames)
 
     def warmup(self, pairs: Optional[Sequence[Tuple[int, int]]] = None
                ) -> None:
@@ -320,7 +327,7 @@ class SynthesisModule:
         t0 = time.perf_counter()
         if self._ratio_observed:
             est = int(len(ids) * self._frames_per_token * length_scale) + 16
-            bucket = _next_bucket(est, self.FRAME_BUCKETS)
+            bucket = self._frame_bucket_capped(est)
         else:
             bucket = self._frames_bucket(x, x_lengths, sid_arr, length_scale,
                                          noise_scale_w, rng)
@@ -340,7 +347,7 @@ class SynthesisModule:
             # cap keeps a pathological duration blow-up bounded
             if y_len < bucket or bucket >= self.MAX_FRAMES:
                 break
-            bucket = _next_bucket(int(bucket * 3 / 2), self.FRAME_BUCKETS)
+            bucket = self._frame_bucket_capped(int(bucket * 3 / 2))
         # adapt the bucket estimator: EMA toward 1.2x the observed ratio,
         # floored at 1.1x so underestimates (which cost a re-dispatch)
         # stay rare
@@ -407,7 +414,7 @@ class SynthesisModule:
             y_len = int(y_lengths[0])
             if y_len < bucket or bucket >= self.MAX_FRAMES:
                 break
-            bucket = _next_bucket(int(bucket * 3 / 2), self.FRAME_BUCKETS)
+            bucket = self._frame_bucket_capped(int(bucket * 3 / 2))
         if return_durations:
             w = np.asarray(attn[0]).sum(axis=0)[: len(ids)]  # [T_x] frames
             return np.asarray(z[0, :y_len]), y_len, sid, w
@@ -485,6 +492,24 @@ class SynthesisModule:
                 best, best_c = s, c
         return best
 
+    def _stack_windows(self, plan: List[Tuple[int, int, int]],
+                       z: np.ndarray, win_frames: int,
+                       rows: int) -> np.ndarray:
+        """Zero-padded chunk windows [rows, win_frames, zdim] for the
+        given plan entries (rows >= len(plan); extra rows stay zero)."""
+        windows = np.zeros((rows, win_frames, z.shape[-1]), np.float32)
+        for i, (pos, lo, hi) in enumerate(plan):
+            windows[i, : hi - lo] = z[lo:hi]
+        return windows
+
+    def _sid_rows(self, nb: int, sid: Optional[int]):
+        """Per-row speaker ids for a batched decode (None when the model
+        is single-speaker)."""
+        if self.cfg.n_speakers > 0:
+            return jnp.full((nb,), 0 if sid is None else int(sid),
+                            jnp.int32)
+        return None
+
     def _chunk_plan(self, t_total: int, chunk_frames: int,
                     overlap_frames: int) -> List[Tuple[int, int, int]]:
         """Chunk windows (pos, lo, hi): body starts at frame `pos`, the
@@ -526,12 +551,8 @@ class SynthesisModule:
             return
 
         def dispatch(i: int):
-            _, lo, hi = plan[i]
-            window = np.zeros(
-                (1, chunk_frames + 2 * overlap_frames, z.shape[-1]),
-                np.float32,
-            )
-            window[0, : hi - lo] = z[lo:hi]
+            window = self._stack_windows(
+                plan[i : i + 1], z, chunk_frames + 2 * overlap_frames, 1)
             return dec(self.params, jnp.asarray(window), sid_arr)
 
         def wavs():
@@ -568,19 +589,28 @@ class SynthesisModule:
             # valid region of this chunk inside `wav`
             start = (pos - lo) * spf
             end = min(start + chunk_frames * spf, len(wav))
+            if (xcorr_align and prev_tail is not None
+                    and start >= ov_samps and len(prev_tail) == ov_samps):
+                # shift the WHOLE chunk window so the aligned overlap
+                # stays contiguous with the body that follows (an np.roll
+                # of just the overlap would wrap samples in from the
+                # wrong end and leave an s-sample seam where the fade
+                # hands over to the body — the defect the spec-domain
+                # joiner already guards against); clamp to keep the
+                # shifted window inside the decoded chunk
+                s = self._best_shift(
+                    prev_tail, wav[start - ov_samps: start],
+                    min(max_shift, ov_samps // 4),
+                )
+                s = int(np.clip(s, end - len(wav), start - ov_samps))
+                start -= s
+                end -= s
             body = wav[start:end]
             head_ov = wav[max(0, start - ov_samps) : start]
             if prev_tail is not None and len(head_ov) == ov_samps and len(
                 prev_tail
             ) == ov_samps:
-                if xcorr_align:
-                    s = self._best_shift(prev_tail, head_ov,
-                                         min(max_shift, ov_samps // 4))
-                    head_al = np.roll(head_ov, s)
-                else:
-                    head_al = head_ov
-                crossed = prev_tail * fade_out + head_al * fade_in
-                yield crossed
+                yield prev_tail * fade_out + head_ov * fade_in
             elif prev_tail is not None:
                 yield prev_tail
             # hold back our own tail for crossfading with the next chunk
@@ -628,15 +658,9 @@ class SynthesisModule:
         w = chunk_frames + 2 * overlap_frames
         n = len(plan)
         nb = self._batch_bucket(n)
-        windows = np.zeros((nb, w, z.shape[-1]), np.float32)
-        for i, (pos, lo, hi) in enumerate(plan):
-            windows[i, : hi - lo] = z[lo:hi]
-        if self.cfg.n_speakers > 0:
-            sid_arr = jnp.full((nb,), 0 if sid is None else int(sid),
-                               jnp.int32)
-        else:
-            sid_arr = None
-        zj, sid_arr = self._shard_to_mesh(jnp.asarray(windows), sid_arr)
+        windows = self._stack_windows(plan, z, w, nb)
+        zj, sid_arr = self._shard_to_mesh(jnp.asarray(windows),
+                                          self._sid_rows(nb, sid))
         dec = self._decode_jit(w)
         # the fetch carries the padded bucket rows too — int16 halves the
         # bytes, and slicing to [:n] on device would cost an extra
@@ -758,13 +782,9 @@ class SynthesisModule:
         if batched:
             n = len(plan)
             nb = self._batch_bucket(n)
-            windows = np.zeros((nb, win_frames, z.shape[-1]), np.float32)
-            for i, (pos, lo, hi) in enumerate(plan):
-                windows[i, : hi - lo] = z[lo:hi]
-            sid_b = (jnp.full((nb,), 0 if sid is None else int(sid),
-                              jnp.int32)
-                     if self.cfg.n_speakers > 0 else None)
-            zj, sid_b = self._shard_to_mesh(jnp.asarray(windows), sid_b)
+            windows = self._stack_windows(plan, z, win_frames, nb)
+            zj, sid_b = self._shard_to_mesh(jnp.asarray(windows),
+                                            self._sid_rows(nb, sid))
             spec_all, phase_all = jax.device_get(
                 dec(self.params, zj, sid_b))
 
@@ -780,9 +800,8 @@ class SynthesisModule:
             sid_arr = self._sid(sid)
 
             def dispatch(i: int):
-                _, lo, hi = plan[i]
-                window = np.zeros((1, win_frames, z.shape[-1]), np.float32)
-                window[0, : hi - lo] = z[lo:hi]
+                window = self._stack_windows(plan[i : i + 1], z,
+                                             win_frames, 1)
                 return dec(self.params, jnp.asarray(window), sid_arr)
 
             def cspecs():
@@ -833,7 +852,10 @@ class SynthesisModule:
         cfull = np.concatenate(joined, axis=0)  # [F_total, ...]
         f_total = len(cfull)
 
-        bucket = _next_bucket(f_total, (), granule=16 * up)
+        # the center=True iSTFT tail yields (bucket-1)*hop samples, so the
+        # bucket must cover f_total + 1 frames — at exactly f_total the
+        # output comes up one hop short of the t_total*hop contract
+        bucket = _next_bucket(f_total + 1, (), granule=16 * up)
         pad_shape = (1, bucket) + cfull.shape[1:]
         spec_p = np.zeros(pad_shape, np.float32)
         phase_p = np.zeros(pad_shape, np.float32)
@@ -863,9 +885,13 @@ class SynthesisModule:
     BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
 
     def _batch_bucket(self, n: int) -> int:
-        """Batch count -> compile bucket, rounded up to mesh-divisible."""
+        """Batch count -> compile bucket, rounded up to mesh-divisible.
+
+        granule=8 beyond the table: the padded rows are decoded AND
+        fetched, so the default 64-granule would waste up to ~2x compute
+        and D2H bytes for counts just past 32."""
         n_dev = self.mesh.size if self.mesh is not None else 1
-        nb = _next_bucket(max(n, n_dev), self.BATCH_BUCKETS)
+        nb = _next_bucket(max(n, n_dev), self.BATCH_BUCKETS, granule=8)
         if nb % n_dev:
             nb += n_dev - nb % n_dev
         return nb

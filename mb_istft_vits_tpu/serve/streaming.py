@@ -44,6 +44,36 @@ def resample_linear(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return np.interp(x_out, np.arange(len(audio)), audio).astype(np.float32)
 
 
+class StreamResampler:
+    """Linear resampler that carries fractional phase across chunks, so
+    the output sample grid is continuous over a whole utterance (chunk-
+    independent resampling restarts the grid at every chunk boundary —
+    periodic timing jitter and interpolation seams)."""
+
+    def __init__(self, sr_in: int, sr_out: int):
+        self.step = sr_in / sr_out  # input samples per output sample
+        self.t = 0.0     # absolute input-time of the next output sample
+        self.n_in = 0    # input samples consumed so far
+        self.prev = np.zeros(0, np.float32)  # last input sample (overlap)
+
+    def __call__(self, chunk: np.ndarray) -> np.ndarray:
+        if self.step == 1.0:
+            return chunk
+        x = np.concatenate([self.prev, chunk.astype(np.float32)])
+        base = self.n_in - len(self.prev)  # absolute index of x[0]
+        # produce outputs with t in [base, base + len(x) - 1]
+        last = base + len(x) - 1
+        ts = []
+        while self.t <= last + 1e-9:
+            ts.append(self.t)
+            self.t += self.step
+        y = (np.interp(np.asarray(ts) - base, np.arange(len(x)), x)
+             .astype(np.float32) if ts else np.zeros(0, np.float32))
+        self.n_in += len(chunk)
+        self.prev = x[-1:]
+        return y
+
+
 def to_int16(audio: np.ndarray) -> np.ndarray:
     return (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
 
@@ -75,10 +105,15 @@ class IncrementalTTS:
 
         self._text_q: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
         self._audio_q: "queue.Queue[tuple]" = queue.Queue()
-        self._revoked: set = set()
+        # insertion-ordered, bounded: a long-running service must not leak
+        # revoked ids (and an unbounded set would permanently mute any
+        # recycled utterance id)
+        self._revoked: "dict[str, None]" = {}
+        self._revoked_cap = 1024
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads = []
+        self.on_error: Optional[Callable[[str, Exception], None]] = None
 
     # -- public API ------------------------------------------------------
     def submit(self, request: TTSRequest) -> None:
@@ -86,7 +121,9 @@ class IncrementalTTS:
 
     def revoke(self, utterance_id: str) -> None:
         with self._lock:
-            self._revoked.add(utterance_id)
+            self._revoked[utterance_id] = None
+            while len(self._revoked) > self._revoked_cap:
+                self._revoked.pop(next(iter(self._revoked)))
 
     def start(self) -> None:
         self._threads = [
@@ -114,21 +151,37 @@ class IncrementalTTS:
                 break
             if self._is_revoked(req.utterance_id):
                 continue
-            # latents once, decode incrementally (streaming chunks start
-            # flowing before the full utterance is decoded)
-            z, y_len, sid = self.module.prepare_shared_latents(
-                req.text, sid=req.sid, noise_scale=req.noise_scale,
-                length_scale=req.length_scale,
-                noise_scale_w=req.noise_scale_w, cleaned=req.cleaned,
-            )
-            for wav in self.module.stream_from_latents(z, sid=sid):
-                if self._is_revoked(req.utterance_id):
-                    break
-                if len(wav) == 0:
-                    continue
-                audio = resample_linear(wav, self.sr_in, self.sr_out)
-                self._audio_q.put((req.utterance_id, audio))
-            self._audio_q.put((req.utterance_id, None))  # end marker
+            try:
+                # latents once, decode incrementally (streaming chunks
+                # start flowing before the full utterance is decoded)
+                z, y_len, sid = self.module.prepare_shared_latents(
+                    req.text, sid=req.sid, noise_scale=req.noise_scale,
+                    length_scale=req.length_scale,
+                    noise_scale_w=req.noise_scale_w, cleaned=req.cleaned,
+                )
+                resample = StreamResampler(self.sr_in, self.sr_out)
+                for wav in self.module.stream_from_latents(z, sid=sid):
+                    if self._is_revoked(req.utterance_id):
+                        break
+                    if len(wav) == 0:
+                        continue
+                    audio = resample(wav)
+                    if len(audio):
+                        self._audio_q.put((req.utterance_id, audio))
+            except Exception as e:  # keep the service alive: one bad
+                # utterance must not kill the daemon thread and hang
+                # every later request
+                if self.on_error is not None:
+                    self.on_error(req.utterance_id, e)
+                else:
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "synthesis failed for utterance %r",
+                        req.utterance_id,
+                    )
+            finally:
+                self._audio_q.put((req.utterance_id, None))  # end marker
 
     def _send_loop(self) -> None:
         buf = np.zeros(0, np.float32)
@@ -145,6 +198,9 @@ class IncrementalTTS:
             if audio is not None:
                 buf = np.concatenate([buf, audio])
             flush = audio is None
+            # the loop condition itself drains the sub-chunk remainder on
+            # flush (chunk = whatever is left), so every chunk — tail
+            # included — goes through the same encode + pacing path
             while len(buf) >= self.chunk_samples or (flush and len(buf)):
                 chunk, buf = (buf[: self.chunk_samples],
                               buf[self.chunk_samples :])
@@ -154,13 +210,6 @@ class IncrementalTTS:
                 self.on_chunk(uid, payload)
                 if self.send_interval:
                     time.sleep(self.send_interval)
-                if flush and len(buf) < self.chunk_samples and len(buf):
-                    pcm = to_int16(buf).tobytes()
-                    self.on_chunk(
-                        uid,
-                        base64.b64encode(pcm) if self.base64_encode else pcm,
-                    )
-                    buf = np.zeros(0, np.float32)
 
 
 class RemdisTTSModule:
@@ -179,22 +228,35 @@ class RemdisTTSModule:
         self.host = host
         self.in_exchange = in_exchange
         self.out_exchange = out_exchange
+        self._pub_conn = None
+        self._pub_ch = None
         self.engine = IncrementalTTS(synthesis_module, self._publish)
+
+    def _publish_channel(self):
+        """One long-lived publisher connection (the reference keeps a
+        single connection too; a TCP+AMQP handshake per 20 ms chunk
+        cannot keep up with realtime)."""
+        import pika  # type: ignore
+
+        if self._pub_ch is None or not self._pub_conn.is_open:
+            self._pub_conn = pika.BlockingConnection(
+                pika.ConnectionParameters(host=self.host)
+            )
+            self._pub_ch = self._pub_conn.channel()
+        return self._pub_ch
 
     def _publish(self, uid: str, payload: bytes) -> None:
         import json
 
-        import pika  # type: ignore
-
-        conn = pika.BlockingConnection(
-            pika.ConnectionParameters(host=self.host)
-        )
-        ch = conn.channel()
-        ch.basic_publish(
-            exchange=self.out_exchange, routing_key="",
-            body=json.dumps({"id": uid, "chunk": payload.decode()}),
-        )
-        conn.close()
+        body = json.dumps({"id": uid, "chunk": payload.decode()})
+        try:
+            self._publish_channel().basic_publish(
+                exchange=self.out_exchange, routing_key="", body=body)
+        except Exception:
+            # broker hiccup: reconnect once, then let the error surface
+            self._pub_ch = None
+            self._publish_channel().basic_publish(
+                exchange=self.out_exchange, routing_key="", body=body)
 
     def run(self) -> None:
         import json

@@ -275,6 +275,45 @@ def test_spec_join_batched_matches_pipelined(module):
     np.testing.assert_allclose(one_shot, pipelined, atol=5e-5)
 
 
+def test_stream_resampler_continuous():
+    """The streaming resampler must produce the same sample grid
+    regardless of chunking — the grid (and interpolation) carries across
+    chunk boundaries instead of restarting per chunk."""
+    from mb_istft_vits_tpu.serve.streaming import StreamResampler
+
+    rng_ = np.random.RandomState(0)
+    audio = rng_.randn(22050).astype(np.float32)
+    sr_in, sr_out = 22050, 48000
+    step = sr_in / sr_out
+    # un-chunked reference on the same fixed-step grid
+    ts = np.arange(0.0, len(audio) - 1 + 1e-9, step)
+    ref = np.interp(ts, np.arange(len(audio)), audio).astype(np.float32)
+
+    for chunk_sz in (160, 1000, 4096):
+        rs = StreamResampler(sr_in, sr_out)
+        out = np.concatenate([
+            rs(audio[i: i + chunk_sz])
+            for i in range(0, len(audio), chunk_sz)
+        ])
+        assert len(out) == len(ref), (chunk_sz, len(out), len(ref))
+        np.testing.assert_allclose(out, ref, atol=1e-6,
+                                   err_msg=f"chunk={chunk_sz}")
+
+
+def test_spec_join_length_at_granule_multiple(module):
+    """When the joined spectrogram frame count lands exactly on the tail
+    bucket granule, the center=True iSTFT yields (bucket-1)*hop samples —
+    the bucket must cover one extra frame or the output comes up short
+    (regression: silently returned t_total*hop - istft_hop*subbands
+    samples for t_total % 16 == 0)."""
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=17)
+    t = 64  # multiple of 16 -> f_total is a granule multiple
+    assert z.shape[0] >= t, z.shape
+    out = module.decode_spec_join(z[:t], sid, chunk_frames=16,
+                                  overlap_frames=4)
+    assert len(out) == t * module.hop_length, (len(out), t * module.hop_length)
+
+
 def test_chunked_decode_xcorr_align(module):
     z, y_len, sid = module.prepare_shared_latents(TEXT, seed=7)
     full = module.infer_z_only(z, sid)
