@@ -31,10 +31,31 @@ from mb_istft_vits_tpu.text import (
 )
 
 
-def load_filepaths_and_text(filename: str, split: str = "|") -> List[List[str]]:
-    """reference utils.py:144-147"""
+def load_filepaths_and_text(filename: str, split: str = "|",
+                            min_cols: int = 2) -> List[List[str]]:
+    """reference utils.py:144-147, hardened: blank and under-columned
+    lines are skipped with a warning instead of crashing later with an
+    IndexError mid-training (e.g. at the first eval)."""
+    rows: List[List[str]] = []
+    skipped = 0
     with open(filename, encoding="utf-8") as f:
-        return [line.strip().split(split) for line in f]
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = line.split(split)
+            if len(row) < min_cols:
+                skipped += 1
+                continue
+            rows.append(row)
+    if skipped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: skipped %d malformed line(s) (fewer than %d '|' columns)",
+            filename, skipped, min_cols,
+        )
+    return rows
 
 
 def load_wav(full_path: str) -> Tuple[np.ndarray, int]:
@@ -80,24 +101,48 @@ def _spectrogram_host(audio_norm: np.ndarray, n_fft: int, hop: int,
 class TextAudioDataset:
     """Loads (text_ids, spec, wav[, sid]) tuples."""
 
-    def __init__(self, filelist: str, cfg: DataConfig, seed: int = 1234):
+    def __init__(self, filelist: str, cfg: DataConfig, seed: int = 1234,
+                 text_id_cap: Optional[int] = None):
         self.cfg = cfg
         self.multi_speaker = cfg.n_speakers > 0
-        rows = load_filepaths_and_text(filelist)
+        rows = load_filepaths_and_text(
+            filelist, min_cols=3 if self.multi_speaker else 2)
         rng = np.random.RandomState(seed)
         rng.shuffle(rows)
+        # the batcher pads text to this static cap; a sample whose
+        # *expanded* ids exceed it must be dropped here, NOT silently
+        # truncated at batch time (truncated text against full audio
+        # corrupts MAS/duration training for that sample)
+        if text_id_cap is None:
+            text_id_cap = cfg.max_text_len * (2 if cfg.add_blank else 1) + 1
+        self.text_id_cap = text_id_cap
         self.rows: List[List[str]] = []
         self.lengths: List[int] = []
+        self._ids: List[np.ndarray] = []  # precomputed (cached) text ids
+        dropped_long = 0
         for row in rows:
             text = row[2] if self.multi_speaker else row[1]
-            if cfg.min_text_len <= len(text) <= cfg.max_text_len:
-                self.rows.append(row)
-                # spec-frame estimate from file size (data_utils.py:60)
-                try:
-                    n = os.path.getsize(row[0]) // (2 * cfg.hop_length)
-                except OSError:
-                    n = 0
-                self.lengths.append(n)
+            if not (cfg.min_text_len <= len(text) <= cfg.max_text_len):
+                continue
+            ids = self.get_text(text)
+            if len(ids) > text_id_cap:
+                dropped_long += 1
+                continue
+            self.rows.append(row)
+            self._ids.append(ids)
+            # spec-frame estimate from file size (data_utils.py:60)
+            try:
+                n = os.path.getsize(row[0]) // (2 * cfg.hop_length)
+            except OSError:
+                n = 0
+            self.lengths.append(n)
+        if dropped_long:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: dropped %d sample(s) whose cleaned text expands past "
+                "the %d-id static cap", filelist, dropped_long, text_id_cap,
+            )
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -128,7 +173,13 @@ class TextAudioDataset:
                 cfg.win_length,
             )  # [F, bins]
             try:
-                np.save(spec_filename, spec)
+                # atomic write: concurrent loader threads (bucket padding
+                # duplicates indices) or a second host on a shared FS must
+                # never np.load a half-written cache file
+                tmp = f"{spec_filename}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    np.save(f, spec)
+                os.replace(tmp, spec_filename)
             except OSError:
                 pass
         return spec.astype(np.float32), audio_norm.astype(np.float32)
@@ -136,11 +187,11 @@ class TextAudioDataset:
     def __getitem__(self, index: int):
         row = self.rows[index]
         if self.multi_speaker:
-            path, sid, text = row[0], row[1], row[2]
+            path, sid = row[0], row[1]
         else:
-            path, text = row[0], row[1]
+            path = row[0]
             sid = None
-        ids = self.get_text(text)
+        ids = self._ids[index]  # precomputed at init (also the length gate)
         spec, wav = self.get_audio(path)
         item = {"x": ids, "spec": spec, "wav": wav}
         if sid is not None:
@@ -169,9 +220,9 @@ class BucketedBatcher:
         self.num_replicas = num_replicas
         self.rank = rank
         self.shuffle = shuffle
-        cfg = dataset.cfg
-        cap = cfg.max_text_len * (2 if cfg.add_blank else 1) + 1
-        self.text_cap = max_text_frames or cap
+        # the dataset drops samples whose ids exceed this cap, so padding
+        # to it is lossless by construction
+        self.text_cap = max_text_frames or dataset.text_id_cap
 
         self.buckets: List[List[int]] = [
             [] for _ in range(len(self.boundaries) - 1)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -26,12 +26,15 @@ class PrefetchIterator:
     the batcher's epoch-seeded order."""
 
     def __init__(self, batcher: BucketedBatcher, epoch: int,
-                 num_workers: int = 8, prefetch_depth: int = 4):
+                 num_workers: int = 8, prefetch_depth: Optional[int] = None):
         self._batcher = batcher
         self._plan: List[Tuple[int, List[int]]] = batcher.epoch_batches(epoch)
         self._pool = ThreadPoolExecutor(max_workers=num_workers,
                                         thread_name_prefix="loader")
-        self._depth = max(1, prefetch_depth)
+        # default the in-flight window to the worker count — a
+        # smaller depth would leave workers idle and halve the
+        # advertised DataLoader(num_workers=8) parallelism
+        self._depth = max(1, prefetch_depth or num_workers)
 
     def __len__(self) -> int:
         return len(self._plan)
@@ -59,7 +62,7 @@ class PrefetchIterator:
 
 def prefetch_epoch(batcher: BucketedBatcher, epoch: int,
                    num_workers: int = 8,
-                   prefetch_depth: int = 4) -> PrefetchIterator:
+                   prefetch_depth: Optional[int] = None) -> PrefetchIterator:
     """Reference DataLoader stand-in: iterate epoch batches with
     `num_workers` loader threads and a bounded prefetch window."""
     return PrefetchIterator(batcher, epoch, num_workers, prefetch_depth)

@@ -142,7 +142,12 @@ def spectrogram(
 ) -> jnp.ndarray:
     """Linear magnitude spectrogram with the reference front-end padding:
     constant-pad (n_fft-hop)/2 both sides then center=False STFT
-    (reference `mel_processing.py:51-70`). y [B, T] in [-1, 1]."""
+    (reference `mel_processing.py:51-70`). y [B, T] in [-1, 1].
+
+    NOTE: THIS fork's reference pads with mode='constant', value=0
+    (mel_processing.py:63) — upstream jaywalnut310/vits uses reflect;
+    the fork changed it. Constant here is exact parity, not a bug; the
+    torch.stft pad_mode='reflect' argument is dead (center=False)."""
     if y.ndim == 1:
         y = y[None]
     p = (n_fft - hop_length) // 2

@@ -68,11 +68,16 @@ def evaluate(cfg, synth, state, writer, global_step, logger):
     try:
         eval_ds = TextAudioDataset(cfg.data.validation_files, cfg.data,
                                    seed=cfg.train.seed)
-    except (OSError, ValueError) as e:
+    except (OSError, ValueError, IndexError, KeyError) as e:
         logger.warning("eval skipped: %s", e)
         return
     if len(eval_ds) == 0 or writer is None:
         return
+    # fetch the (data-parallel-replicated) params to host once: under
+    # multi-host SPMD the train-state arrays span all hosts' devices, and
+    # a rank-0-only apply on them would launch a collective program from
+    # one process and deadlock; local host params keep eval single-process
+    state = state.replace(params_g=jax.device_get(state.params_g))
     if cfg.data.n_speakers > 1:
         # speaker-embedding projector (reference train_latest.py:257-261)
         emb = np.asarray(state.params_g["emb_g"]["embedding"])
@@ -202,8 +207,22 @@ def main():
                                   step=restored.step)
         else:
             state = restored
+        # reference resume semantics (train_latest.py:116-122 + epoch
+        # loop): training restarts at the last finished epoch's boundary.
+        # Keeping a mid-epoch step while replaying the epoch's data from
+        # its start would drift step/epoch accounting (and the lr
+        # schedule) further on every preemption resume — snap down.
+        snapped = (int(restored.step) // max(steps_per_epoch, 1)) \
+            * max(steps_per_epoch, 1)
+        if snapped != int(state.step):
+            import jax.numpy as jnp
+
+            state = state.replace(step=jnp.asarray(snapped,
+                                                   state.step.dtype))
         if is_rank0:
-            logger.info("resumed from step %d%s", start_step,
+            logger.info("resumed from step %d%s%s", start_step,
+                        f" (snapped to epoch boundary {snapped})"
+                        if snapped != start_step else "",
                         " (optimizer reset)" if args.reset_optimizer else "")
 
     step_fn = make_train_step(cfg, synth, disc)
@@ -230,6 +249,15 @@ def main():
     signal.signal(signal.SIGTERM, _on_sigterm)
 
     global_step = int(state.step)
+    # --reset-optimizer restarts adamw's internal schedule count at 0
+    # while state.step is preserved (the reference's re-seeded initial_lr,
+    # train_latest_fixed.py:117-128) — offset the *logged* lr to match
+    # the lr actually applied
+    lr_offset = global_step if (args.reset_optimizer
+                                and start_step is not None) else 0
+    from mb_istft_vits_tpu.train.step import make_lr_schedule
+
+    lr_schedule = make_lr_schedule(cfg)
     t_last = time.perf_counter()
     epoch0 = global_step // max(steps_per_epoch, 1)
     for epoch in range(epoch0, cfg.train.epochs):
@@ -242,6 +270,9 @@ def main():
             global_step += 1
             if is_rank0 and global_step % cfg.train.log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                if lr_offset:
+                    m["learning_rate"] = float(
+                        lr_schedule(global_step - 1 - lr_offset))
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 m["steps_per_sec"] = cfg.train.log_interval / dt
@@ -251,21 +282,26 @@ def main():
                 if writer:
                     for k, v in m.items():
                         writer.add_scalar(k, v, global_step)
-            if is_rank0 and global_step % cfg.train.eval_interval == 0:
-                evaluate(cfg, synth, state, writer, global_step, logger)
-                save_checkpoint(model_dir, global_step, state)
-                logger.info("saved checkpoint at %d", global_step)
-            if preempted["flag"]:
+            if global_step % cfg.train.eval_interval == 0:
                 if is_rank0:
-                    save_checkpoint(model_dir, global_step, state)
+                    evaluate(cfg, synth, state, writer, global_step, logger)
+                # orbax save is a COLLECTIVE under multi-host (barrier +
+                # distributed array gather): every process must enter it,
+                # or rank 0 deadlocks against ranks already in the next
+                # step's all-reduce
+                save_checkpoint(model_dir, global_step, state)
+                if is_rank0:
+                    logger.info("saved checkpoint at %d", global_step)
+            if preempted["flag"]:
+                save_checkpoint(model_dir, global_step, state)
+                if is_rank0:
                     logger.info(
                         "SIGTERM: checkpointed at step %d, exiting",
                         global_step,
                     )
                 return
             if args.max_steps and global_step >= args.max_steps:
-                if is_rank0:
-                    save_checkpoint(model_dir, global_step, state)
+                save_checkpoint(model_dir, global_step, state)
                 return
 
 
