@@ -730,21 +730,21 @@ class SynthesisModule:
                           max_shift: int) -> int:
         """Frame-domain cross-correlation shift search between two overlap
         windows of spectrogram frames (the notebooks' find_best_frame_shift,
-        infer.ipynb cell 11). a, b: [F, ...] magnitude frames."""
-        af = a.reshape(len(a), -1)
-        bf = b.reshape(len(b), -1)
-        best, best_c = 0, -np.inf
-        for s in range(-max_shift, max_shift + 1):
-            if s >= 0:
-                x, y = af[s:], bf[: len(bf) - s]
-            else:
-                x, y = af[: len(af) + s], bf[-s:]
-            if len(x) < 1:
-                continue
-            c = float(np.sum(x * y)) / max(len(x), 1)
-            if c > best_c:
-                best, best_c = s, c
-        return best
+        infer.ipynb cell 12): LOG-magnitude, per-channel mean-centered over
+        time, zero-padded lags. Centering matters — raw positive magnitudes
+        bias the score toward whichever lag trims into the loudest frames.
+        a, b: [F, ...] magnitude frames; returns s such that b[t+s] aligns
+        with a[t] (positive = take the next chunk's window s frames later).
+        """
+        af = np.log(a.reshape(len(a), -1) + 1e-6)
+        bf = np.log(b.reshape(len(b), -1) + 1e-6)
+        af = af - af.mean(axis=0, keepdims=True)
+        bf = bf - bf.mean(axis=0, keepdims=True)
+        pad = np.pad(bf, ((max_shift, max_shift), (0, 0)))
+        n = len(af)
+        scores = [float(np.sum(pad[k:k + n] * af))
+                  for k in range(2 * max_shift + 1)]
+        return int(np.argmax(scores)) - max_shift
 
     def decode_spec_join(
         self,

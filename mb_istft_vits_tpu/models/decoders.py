@@ -26,12 +26,21 @@ import jax.numpy as jnp
 from mb_istft_vits_tpu.dsp.pqmf import PQMFBank
 from mb_istft_vits_tpu.dsp.stft import istft
 from mb_istft_vits_tpu.nn import Conv1d, ConvTranspose1d, ResBlock1, ResBlock2
-from mb_istft_vits_tpu.nn.layers import get_padding, leaky_relu, normal_init
+from mb_istft_vits_tpu.nn.layers import get_padding, leaky_relu
 
 
 class _UpsamplerTrunk(nn.Module):
     """conv_pre + upsample/resblock stack shared by all decoder heads
-    (reference models.py:278-291 et al)."""
+    (reference models.py:278-291 et al).
+
+    Init note: the reference calls .apply(init_weights) (N(0, 0.01)) on
+    its weight-normed convs, but that writes the DERIVED weight tensor,
+    which the weight_norm pre-forward hook recomputes from the untouched
+    (v, g) on the first forward — the 0.01 init is a no-op there
+    (verified in torch: weight std 0.01 after init, kaiming-level after
+    one forward). The effective reference init is therefore the default
+    kaiming-uniform on v with g = ||v||, which is exactly what these
+    layers use — do NOT "fix" this by re-adding a 0.01 init."""
 
     initial_channel: int
     resblock: str
@@ -56,7 +65,7 @@ class _UpsamplerTrunk(nn.Module):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             x = ConvTranspose1d(
                 ch, k, stride=u, padding=(k - u) // 2, weight_norm=True,
-                kernel_init=normal_init(0.01), name=f"ups_{i}",
+                name=f"ups_{i}",
             )(x)
             xs = None
             for j, (rk, rd) in enumerate(
@@ -106,7 +115,7 @@ class ISTFTGenerator(nn.Module):
         )(x, g=g)
         x = _reflection_pad_left1(x)
         x = Conv1d(self.gen_istft_n_fft + 2, 7, padding=3, weight_norm=True,
-                   kernel_init=normal_init(0.01), name="conv_post")(x)
+                   name="conv_post")(x)
         spec, phase = _spec_phase(x, self.gen_istft_n_fft)
         # istft wants [B, bins, frames]
         o = istft(jnp.swapaxes(spec, 1, 2), jnp.swapaxes(phase, 1, 2),
@@ -141,7 +150,7 @@ class _SubbandISTFTBase(nn.Module):
         )(x, g=g)
         x = _reflection_pad_left1(x)
         x = Conv1d(s * (n_fft + 2), 7, padding=3, weight_norm=True,
-                   kernel_init=normal_init(0.01), name="subband_conv_post")(x)
+                   name="subband_conv_post")(x)
         b, t, _ = x.shape
         x = x.reshape(b, t, s, n_fft + 2)
         spec, phase = _spec_phase(x, n_fft)  # [B, T, s, bins]
@@ -180,6 +189,5 @@ class MultistreamISTFTGenerator(_SubbandISTFTBase):
         up = up.at[:, :, 0, :].set(y_mb * s)
         up = up.reshape(b, t * s, s)
         o = Conv1d(1, 63, padding=get_padding(63, 1), use_bias=False,
-                   weight_norm=True, kernel_init=normal_init(0.01),
-                   name="multistream_conv_post")(up)
+                   weight_norm=True, name="multistream_conv_post")(up)
         return o, up, spec, phase  # y_mb after upsample (reference :463-467)

@@ -156,8 +156,15 @@ class MultiHeadAttention(nn.Module):
                 (n_heads_rel, 2 * self.window_size + 1, d_k),
             )
             key_rel = _get_relative_embeddings(emb_rel_k, t, self.window_size)
-            # [b,h,l,d] x [1,m,d] -> [b,h,l,m]
-            rel_logits = jnp.einsum("bhld,nmd->bhlm", q * scale, key_rel)
+            # per-head when heads_share=False ([h,m,d]); broadcast when
+            # shared ([1,m,d]) — contracting over the table axis with
+            # 'nmd' would SUM every head's table into every head's scores
+            if key_rel.shape[0] == 1:
+                rel_logits = jnp.einsum("bhld,md->bhlm", q * scale,
+                                        key_rel[0])
+            else:
+                rel_logits = jnp.einsum("bhld,hmd->bhlm", q * scale,
+                                        key_rel)
             scores = scores + _rel_to_abs(rel_logits)
 
         if self.proximal_bias:
@@ -178,7 +185,10 @@ class MultiHeadAttention(nn.Module):
         if self.window_size is not None:
             rel_w = _abs_to_rel(p)
             val_rel = _get_relative_embeddings(emb_rel_v, t, self.window_size)
-            out = out + jnp.einsum("bhlm,nmd->bhld", rel_w, val_rel)
+            if val_rel.shape[0] == 1:
+                out = out + jnp.einsum("bhlm,md->bhld", rel_w, val_rel[0])
+            else:
+                out = out + jnp.einsum("bhlm,hmd->bhld", rel_w, val_rel)
         out = out.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         return Conv1d(self.out_channels, 1, name="conv_o")(out)
 

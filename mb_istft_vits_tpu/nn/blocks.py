@@ -17,7 +17,6 @@ from mb_istft_vits_tpu.nn.layers import (
     LayerNorm,
     get_padding,
     leaky_relu,
-    normal_init,
 )
 
 
@@ -174,7 +173,6 @@ class ResBlock1(nn.Module):
                 dilation=d,
                 padding=get_padding(self.kernel_size, d),
                 weight_norm=True,
-                kernel_init=normal_init(0.01),
                 name=f"convs1_{j}",
             )(xt)
             xt = leaky_relu(xt)
@@ -185,7 +183,6 @@ class ResBlock1(nn.Module):
                 self.kernel_size,
                 padding=get_padding(self.kernel_size, 1),
                 weight_norm=True,
-                kernel_init=normal_init(0.01),
                 name=f"convs2_{j}",
             )(xt)
             x = xt + x
@@ -221,7 +218,6 @@ class ResBlock2(nn.Module):
                 dilation=d,
                 padding=get_padding(self.kernel_size, d),
                 weight_norm=True,
-                kernel_init=normal_init(0.01),
                 name=f"convs_{j}",
             )(xt)
             x = xt + x

@@ -240,7 +240,3 @@ class LayerNorm(nn.Module):
         return (y * gamma + beta).astype(x.dtype)
 
 
-def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
-    """[B] -> [B, T] bool (reference commons.py:121-125)."""
-    pos = jnp.arange(max_length)[None, :]
-    return pos < lengths[:, None]

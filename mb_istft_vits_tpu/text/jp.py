@@ -108,20 +108,28 @@ def mora2phoneme(text: str, reference_compat: bool = False) -> str:
 # from the romaji tables above through a phone-level rewrite (plus the
 # handful of morae whose romaji is ambiguous, e.g. チ vs ティ both "t i").
 # ---------------------------------------------------------------------
+# the reference writes ç as DECOMPOSED 'c' + U+0327 combining cedilla
+# (phonemize.py table bytes) — match it exactly so emitted token strings
+# compare equal
+_CCEDILLA = "c\u0327"
 _IPA_PHONE = {
     "u": "ɯ", "f": "ɸ", "y": "j", "r": "ɾ", "N": "ɴ",
-    "ky": "k j", "gy": "g j", "ny": "n j", "hy": "ç j", "py": "p j",
+    "ky": "k j", "gy": "g j", "ny": "n j", "hy": _CCEDILLA + " j",
+    "py": "p j",
     "by": "b j", "my": "m j", "ry": "ɾ j",
     "sy": "ɕ", "zy": "d ʑ", "ch": "t ɕ", "ts": "t s",
 }
 _IPA_CONTEXT = {  # (consonant, following vowel) -> IPA consonant
     ("s", "i"): "ɕ", ("z", "i"): "d ʑ", ("t", "i"): "t ɕ",
-    ("t", "u"): "t s", ("h", "i"): "ç", ("h", "u"): "ɸ",
+    ("t", "u"): "t s", ("h", "i"): _CCEDILLA, ("h", "u"): "ɸ",
 }
 _IPA_MORA_EXCEPTIONS = {
     # morae whose romaji collides with another mora's (phonemize.py:175-189)
     "ティ": "t i", "ディ": "d i", "トゥ": "t ɯ", "ドゥ": "d ɯ",
     "スィ": "s i", "ズィ": "z i",
+    # デュ exists only in the reference IPA table (no romaji counterpart
+    # to derive it from, phonemize.py table2)
+    "デュ": "d j ɯ",
     # only ワ is the compressed [ɰᵝ]; ウィ/ウェ stay plain w (:54,:113)
     "ワ": "ɰᵝ a",
 }
@@ -143,6 +151,8 @@ IPA_TABLE2 = {
     k: _IPA_MORA_EXCEPTIONS.get(k, _romaji_to_ipa(v))
     for k, v in TABLE2.items()
 }
+# morae that exist ONLY in the reference IPA table (no romaji source row)
+IPA_TABLE2["デュ"] = _IPA_MORA_EXCEPTIONS["デュ"]
 IPA_TABLE = {
     k: _IPA_MORA_EXCEPTIONS.get(k, _romaji_to_ipa(v))
     for k, v in TABLE.items() if k != "ッ"

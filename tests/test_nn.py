@@ -370,6 +370,41 @@ def test_transformer_decoder_causal(rng):
     assert not np.allclose(y1, y3)
 
 
+def test_attention_heads_share_false_per_head(rng):
+    """heads_share=False must use each head's OWN rel-pos table
+    (reference attentions.py broadcasts head-for-head). Regression: the
+    einsum contracted over the table axis, summing every head's table
+    into every head's scores — with both heads' tables set equal, that
+    bug doubles the rel logits vs the shared-table model."""
+    c, h, t = 16, 2, 10
+    x = jnp.asarray(rng.randn(2, t, c).astype(np.float32))
+
+    m_shared = MultiHeadAttention(c, c, h, window_size=4, heads_share=True)
+    p_shared = m_shared.init(jax.random.PRNGKey(0), x)
+
+    m_per = MultiHeadAttention(c, c, h, window_size=4, heads_share=False)
+    m_per.init(jax.random.PRNGKey(0), x)  # shape sanity only
+
+    # same conv weights; per-head tables = the shared table repeated
+    shared = p_shared["params"]
+    per = {
+        k: (jnp.concatenate([v] * h, axis=0) if k.startswith("emb_rel")
+            else v)
+        for k, v in shared.items()
+    }
+    y_shared = np.asarray(m_shared.apply({"params": shared}, x))
+    y_per = np.asarray(m_per.apply({"params": per}, x))
+    np.testing.assert_allclose(y_per, y_shared, atol=1e-6)
+
+    # and genuinely different tables must change only via their own head:
+    # zeroing head-1's key table with head-0's kept must not equal the
+    # all-equal case
+    per2 = dict(per)
+    per2["emb_rel_k"] = per["emb_rel_k"].at[1].set(0.0)
+    y_zero = np.asarray(m_per.apply({"params": per2}, x))
+    assert not np.allclose(y_zero, y_shared)
+
+
 def test_coupling_and_convflow_identity_at_init(rng):
     """Both flow layers zero-init their final conv (weight AND bias), so
     each is the identity transform at init with zero logdet — the

@@ -40,6 +40,56 @@ def test_jp_symbols_match_reference():
     assert text_jp.symbols == mod.symbols
 
 
+def test_jp_ipa_tables_match_reference():
+    """Our IPA tables are DERIVED from the romaji tables via a phone
+    rewrite; they must still reproduce the reference's hand-written IPA
+    tables byte-for-byte (including the decomposed c+COMBINING CEDILLA),
+    reference phonemize.py:3-123."""
+    import ast
+    import re
+
+    src = open("/root/reference/text_JP/phonemize.py").read()
+    fn = src[src.find("def mora2phoneme_text2phoneme"):
+             src.find("def mora2phoneme_jpn")]
+    d2, d1 = re.findall(r"\{[^{}]*\}", fn, re.S)[:2]
+    ref_t2, ref_t1 = ast.literal_eval(d2), ast.literal_eval(d1)
+
+    assert {k: text_jp.IPA_TABLE2[k] for k in ref_t2} == ref_t2
+    assert {k: text_jp.IPA_TABLE[k] for k in ref_t1} == ref_t1
+    # ours is a strict superset: kana the reference IPA table silently
+    # leaves unconverted (ヂ/ヅ/ヲ exist in its romaji table only)
+    assert set(text_jp.IPA_TABLE) - set(ref_t1) == {"ヂ", "ヅ", "ヲ"}
+    assert set(text_jp.IPA_TABLE2) == set(ref_t2)
+
+
+def test_jp_mora2ipa_matches_reference_output():
+    """End-to-end parity with the reference IPA phonemizer on inputs
+    that avoid its documented quirks (word-final sokuon gemination
+    across a boundary)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_jp_phonemize", "/root/reference/text_JP/phonemize.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cases = [
+        "コンニチハ",
+        "キョーハ イーテンキ",
+        "ガッコー",  # sokuon geminating within a word
+        "マッチャ",
+        "ヒャクエン デス",
+        "シンブンシ",
+        "チョット マッテ",
+        "デュエット",
+        "ワタシハ ガクセーデス",
+    ]
+    for text in cases:
+        ref = " ".join(mod.mora2phoneme_text2phoneme(text).split())
+        ours = " ".join(text_jp.mora2ipa(text).split())
+        assert ours == ref, (text, ours, ref)
+
+
 def test_jp_mora2phoneme():
     # katakana + long vowel + sokuon/hatsuon
     out = text_jp.mora2phoneme("キョート")
@@ -222,7 +272,8 @@ def test_jp_ipa_phonemizer_variant():
     assert mora2ipa("シンブン") == "ɕ i ɴ b ɯ ɴ"
     assert mora2ipa("チョット マッテ") == "t ɕ o t: o ▁ m a t: e"
     assert mora2ipa("ツクエ") == "t s ɯ k ɯ e"
-    assert mora2ipa("フジ ヒカリ") == "ɸ ɯ d ʑ i ▁ ç i k a ɾ i"
+    # ç is DECOMPOSED c+U+0327, matching the reference table bytes
+    assert mora2ipa("フジ ヒカリ") == "ɸ ɯ d ʑ i ▁ ç i k a ɾ i"
     assert mora2ipa("ワタシ") == "ɰᵝ a t a ɕ i"
     assert mora2ipa("ガッコー") == "g a k: o:"
     # romaji-colliding morae keep their plain consonants
