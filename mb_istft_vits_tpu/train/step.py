@@ -34,6 +34,7 @@ import optax
 
 from mb_istft_vits_tpu.config import Config
 from mb_istft_vits_tpu.dsp.mel import mel_spectrogram, spec_to_mel
+from mb_istft_vits_tpu.dsp.stft import spectrogram
 from mb_istft_vits_tpu.losses import (
     discriminator_loss,
     feature_loss,
@@ -95,10 +96,20 @@ def create_train_state(
     k_params, k_noise, k_drop, k_slice, k_dparams, k_state = jax.random.split(
         rng, 6
     )
+    if "spec" in batch:
+        spec_ex = batch["spec"]
+    else:  # device-spec batch (int16 wav only): init from a shape dummy
+        dd = cfg.data
+        t_spec = ((batch["wav"].shape[1] - (dd.filter_length - dd.hop_length))
+                  // dd.hop_length)
+        spec_ex = jnp.zeros(
+            (batch["wav"].shape[0], t_spec, dd.filter_length // 2 + 1),
+            jnp.float32,
+        )
     g_vars = synth.init(
         {"params": k_params, "noise": k_noise, "dropout": k_drop,
          "slice": k_slice},
-        batch["x"], batch["x_lengths"], batch["spec"], batch["spec_lengths"],
+        batch["x"], batch["x_lengths"], spec_ex, batch["spec_lengths"],
         sid=batch.get("sid"), train=False,
     )
     seg = cfg.train.segment_size
@@ -167,6 +178,33 @@ def make_train_step(cfg: Config, synth: Synthesizer,
     def cast32(tree):
         return _cast_floating(tree, jnp.float32) if mixed else tree
 
+    def _prep(batch):
+        """Device-side batch finalization (runs inside each jitted
+        program). int16 wav (device-spec feeding, data/dataset.py) is
+        dequantized here, and when the batch carries no host-computed
+        "spec", the linear spectrogram is computed on-device: the
+        zero-padded batch wav reproduces the reference's constant-pad
+        front end (mel_processing.py:63) exactly, so frames inside
+        spec_lengths are bit-identical to the host `.spec` cache. The
+        collate sized the wav buffer t_spec*hop + (n_fft - hop) so
+        non-hop-aligned utterance tails are present; the frame count is
+        sliced back to t_spec."""
+        wav = batch["wav"]
+        if not jnp.issubdtype(wav.dtype, jnp.floating):
+            wav = wav.astype(jnp.float32) * (1.0 / d.max_wav_value)
+        if "spec" in batch:
+            spec = batch["spec"]
+        else:
+            t_spec = (wav.shape[1] - (d.filter_length - d.hop_length)
+                      ) // d.hop_length
+            mag = spectrogram(wav[..., 0], d.filter_length, d.hop_length,
+                              d.win_length)  # [B, bins, F]
+            spec = jnp.swapaxes(mag, 1, 2)[:, :t_spec]
+        out = dict(batch)
+        out["wav"] = wav
+        out["spec"] = spec
+        return out
+
     def g_forward(params_g, batch, rngs):
         return synth.apply(
             {"params": cast_c(params_g)},
@@ -196,6 +234,7 @@ def make_train_step(cfg: Config, synth: Synthesizer,
     # ------------------------------------------------------------------
     @jax.jit
     def d_step(state: TrainState, batch):
+        batch = _prep(batch)
         rngs = step_rngs(state)
         y_hat, ids_slice = synth.apply(
             {"params": cast_c(state.params_g)},
@@ -223,7 +262,9 @@ def make_train_step(cfg: Config, synth: Synthesizer,
             d_grads, state.opt_state_d, state.params_d
         )
         new_params_d = optax.apply_updates(state.params_d, d_updates)
-        return new_params_d, new_opt_d, loss_disc, grad_norm_d
+        # hand the (possibly device-computed) spectrogram to the G
+        # program device-to-device so device-spec mode computes it once
+        return new_params_d, new_opt_d, loss_disc, grad_norm_d, batch["spec"]
 
     # ------------------------------------------------------------------
     # program 2: generator step vs the updated D (train_latest.py:202-227)
@@ -233,7 +274,10 @@ def make_train_step(cfg: Config, synth: Synthesizer,
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
     def g_step(state: TrainState, batch, new_params_d, new_opt_d,
-               loss_disc, grad_norm_d):
+               loss_disc, grad_norm_d, spec):
+        # NOT donated: in host-spec mode `spec` aliases the caller's
+        # batch["spec"], which may be reused for later steps
+        batch = _prep({**batch, "spec": spec})
         rngs = step_rngs(state)  # same fold -> same sample/slice/dropout
         mel = spec_to_mel(
             jnp.swapaxes(batch["spec"], 1, 2), d.filter_length,
@@ -316,8 +360,9 @@ def make_train_step(cfg: Config, synth: Synthesizer,
         return new_state, metrics
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        new_params_d, new_opt_d, loss_disc, grad_norm_d = d_step(state, batch)
+        (new_params_d, new_opt_d, loss_disc, grad_norm_d,
+         spec) = d_step(state, batch)
         return g_step(state, batch, new_params_d, new_opt_d, loss_disc,
-                      grad_norm_d)
+                      grad_norm_d, spec)
 
     return train_step

@@ -25,6 +25,13 @@ def main():
     parser.add_argument("--no-donate", action="store_true")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 mixed-precision compute (fp16_run)")
+    parser.add_argument("--feed-host", action="store_true",
+                        help="also time steps with per-step host batch "
+                             "feeding (realistic H2D transfer cost)")
+    parser.add_argument("--device-spec", action="store_true",
+                        help="int16-wav-only feeding with the linear "
+                             "spectrogram computed inside the train "
+                             "programs (train.py default)")
     args = parser.parse_args()
 
     import jax
@@ -55,6 +62,11 @@ def main():
         "wav_lengths": jnp.asarray(np.full(b, t_spec * d.hop_length,
                                            np.int32)),
     }
+    if args.device_spec:
+        del batch["spec"]
+        t_wav = t_spec * d.hop_length + d.filter_length - d.hop_length
+        batch["wav"] = jnp.asarray(rng.randint(
+            -16384, 16384, (b, t_wav, 1)).astype(np.int16))
     state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0),
                                             jax.tree.map(lambda a: a[:2],
                                                          batch))
@@ -107,6 +119,24 @@ def main():
         state, metrics = step(state, batch)
     jax.device_get(metrics["loss/g/total"])
     dt = (time.perf_counter() - t0) / args.steps
+
+    if args.feed_host:
+        # REALISTIC feeding: a fresh host batch is shard_batch-ed every
+        # step (what train.py actually does). The device-resident loop
+        # above hides all H2D bytes; this one pays them. Reports the
+        # per-step feed payload so transfer-reduction work is measurable.
+        host = {k: np.asarray(v) for k, v in
+                ((k, jax.device_get(v)) for k, v in batch.items())}
+        nbytes = sum(a.nbytes for a in host.values())
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step(state, shard_batch(dict(host), mesh))
+        jax.device_get(metrics["loss/g/total"])
+        dt_feed = (time.perf_counter() - t0) / args.steps
+        print(f"step time (host-fed): {dt_feed*1e3:.1f} ms  "
+              f"feed: {nbytes/1e6:.1f} MB/step  "
+              f"({nbytes/max(dt_feed,1e-9)/1e9:.2f} GB/s effective)",
+              flush=True)
     audio_s = b * t_spec * d.hop_length / d.sampling_rate
     print(f"step time: {dt*1e3:.1f} ms  steps/s: {1/dt:.2f}  "
           f"audio-s trained/s: {audio_s/dt:.1f}  "

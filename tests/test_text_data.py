@@ -180,6 +180,54 @@ def test_dataset_and_batcher(wav_dataset):
     assert b0 == b1
 
 
+def test_device_spec_batches(wav_dataset):
+    """device_spec=True feeding mode (train.py default): int16 PCM only,
+    no host spectrogram / .spec.npy cache; frames computed on-device
+    must match the host .spec cache inside spec_lengths."""
+    import jax.numpy as jnp
+
+    from mb_istft_vits_tpu.dsp import spectrogram
+
+    cfg = DataConfig(
+        training_files=wav_dataset, sampling_rate=8000, filter_length=256,
+        hop_length=64, win_length=256, text_module="text_JP",
+        cleaned_text=True, add_blank=True, max_wav_value=32768.0,
+    )
+    ds_h = TextAudioDataset(wav_dataset, cfg)
+    ds_d = TextAudioDataset(wav_dataset, cfg, device_spec=True)
+    assert "spec" not in ds_d[0]
+
+    bh = next(BucketedBatcher(ds_h, batch_size=2,
+                              boundaries=[16, 128, 256, 512],
+                              shuffle=False).iter_epoch(0))
+    bd = next(BucketedBatcher(ds_d, batch_size=2,
+                              boundaries=[16, 128, 256, 512],
+                              shuffle=False).iter_epoch(0))
+
+    assert "spec" not in bd
+    assert bd["wav"].dtype == np.int16
+    pad = cfg.filter_length - cfg.hop_length
+    assert bd["wav"].shape[1] == bh["wav"].shape[1] + pad
+    np.testing.assert_array_equal(bd["spec_lengths"], bh["spec_lengths"])
+    np.testing.assert_array_equal(bd["wav_lengths"], bh["wav_lengths"])
+
+    # int16 dequantization is lossless for 16-bit sources
+    deq = bd["wav"].astype(np.float32) / cfg.max_wav_value
+    np.testing.assert_array_equal(deq[:, : bh["wav"].shape[1]], bh["wav"])
+
+    # on-device spectrogram (what train/step.py:_prep computes) matches
+    # the host .spec cache on every frame inside spec_lengths
+    t_spec = (bd["wav"].shape[1] - pad) // cfg.hop_length
+    mag = np.asarray(spectrogram(
+        jnp.asarray(deq[..., 0]), cfg.filter_length, cfg.hop_length,
+        cfg.win_length,
+    )).transpose(0, 2, 1)[:, :t_spec]
+    for i in range(2):
+        n = bh["spec_lengths"][i]
+        np.testing.assert_allclose(mag[i, :n], bh["spec"][i, :n],
+                                   atol=2e-4)
+
+
 def test_native_audio_loader(wav_dataset, rng):
     """C++ loader (native/audio.cpp): wav parity vs scipy, spectrogram
     parity vs the on-device DSP (reference data_utils.py:78-86 path)."""

@@ -182,6 +182,47 @@ def test_train_step_tensor_parallel_2d_mesh(rng):
     np.testing.assert_allclose(tp_leaf, ref_leaf, atol=2e-4)
 
 
+def test_train_step_device_spec_matches_host_spec(rng):
+    """Device-spec feeding (int16 wav only, spectrogram computed inside
+    the jitted programs — train.py's default) must reproduce the
+    host-spec step numerics exactly: the zero-padded batch wav IS the
+    reference's constant-pad spectrogram front end, and int16 PCM
+    round-trips losslessly for 16-bit sources."""
+    cfg = tiny_config()
+    d = cfg.data
+    b, t_wav = 8, 2048
+    # integer-grid wav: int16 quantization is lossless by construction
+    wav_i16 = rng.randint(-12000, 12000, size=(b, t_wav)).astype(np.int16)
+    wav_f = wav_i16.astype(np.float32) / d.max_wav_value
+
+    host = synth_batch(rng, cfg)  # shapes/x; overwrite audio below
+    host["wav"] = jnp.asarray(wav_f)[..., None]
+    spec = np.asarray(spectrogram(jnp.asarray(wav_f), d.filter_length,
+                                  d.hop_length, d.win_length))
+    host["spec"] = jnp.asarray(spec.transpose(0, 2, 1))
+    host["spec_lengths"] = jnp.asarray(
+        np.full(b, spec.shape[2], np.int32))
+
+    dev = {k: v for k, v in host.items() if k != "spec"}
+    pad = d.filter_length - d.hop_length
+    dev["wav"] = jnp.asarray(
+        np.pad(wav_i16, ((0, 0), (0, pad)))[..., None])
+    assert dev["wav"].dtype == jnp.int16
+
+    state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), dev)
+    step = make_train_step(cfg, synth, disc)
+    state_h, m_h = step(state, host)
+    state0, _, _ = create_train_state(cfg, jax.random.PRNGKey(0), dev)
+    state_d, m_d = step(state0, dev)
+
+    for k in m_h:
+        np.testing.assert_allclose(float(m_d[k]), float(m_h[k]),
+                                   rtol=1e-5, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state_d.params_g)[0]),
+        np.asarray(jax.tree.leaves(state_h.params_g)[0]), atol=1e-6)
+
+
 def test_lr_schedule():
     cfg = tiny_config()
     from mb_istft_vits_tpu.train.step import make_lr_schedule

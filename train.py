@@ -123,6 +123,11 @@ def main():
                         help="restore model weights but NOT optimizer state "
                              "and re-seed the lr schedule (the reference's "
                              "train_latest_fixed.py:117-128 behavior)")
+    parser.add_argument("--host-spec", action="store_true",
+                        help="compute linear spectrograms on the host with "
+                             "a .spec.npy cache (the reference pipeline, "
+                             "data_utils.py:78-86) instead of the default "
+                             "on-device spectrogram with int16 PCM feeding")
     parser.add_argument("--debug-nans", action="store_true",
                         help="raise on NaN/Inf in jitted computations "
                              "(the reference's always-on "
@@ -165,7 +170,8 @@ def main():
 
     cfg = Config.from_json(args.config)
     dataset = TextAudioDataset(cfg.data.training_files, cfg.data,
-                               seed=cfg.train.seed)
+                               seed=cfg.train.seed,
+                               device_spec=not args.host_spec)
     n_hosts = jax.process_count()
     batcher = BucketedBatcher(
         dataset, cfg.train.batch_size, num_replicas=n_hosts,
