@@ -23,14 +23,43 @@ import numpy as np
 # orbax save/restore
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(model_dir: str, step: int, state) -> str:
-    import orbax.checkpoint as ocp
+_CKPTR = None  # persistent: keeps the orbax async write thread alive
 
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        # StandardCheckpointer IS an AsyncCheckpointer wrapper: save()
+        # gathers the arrays to host synchronously (a collective under
+        # multi-host) and runs the file write in a background thread
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(model_dir: str, step: int, state, wait: bool = True
+                    ) -> str:
+    """Save (params, opt_state, step) under model_dir/ckpt/<step>.
+
+    wait=False returns once the arrays are gathered to host — the file
+    write overlaps the next train steps (the trainer's periodic saves);
+    wait=True blocks until the checkpoint is durable on disk (final and
+    SIGTERM saves). Orbax finalizes via tmp-dir rename, so
+    latest_checkpoint_step never sees a half-written step dir."""
     path = os.path.abspath(os.path.join(model_dir, "ckpt", str(step)))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_for_pending_checkpoint() -> None:
+    """Block until any async save has finalized (call before exiting or
+    before restoring from the same model dir)."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def latest_checkpoint_step(model_dir: str) -> Optional[int]:

@@ -223,6 +223,36 @@ def test_train_step_device_spec_matches_host_spec(rng):
         np.asarray(jax.tree.leaves(state_h.params_g)[0]), atol=1e-6)
 
 
+def test_async_checkpoint_save(tmp_path):
+    """save_checkpoint(wait=False) overlaps the file write with further
+    work; wait_for_pending_checkpoint() makes it durable, and the
+    finalized step is visible to latest_checkpoint_step + restorable.
+    An in-flight (tmp-dir) save must never be listed as a step."""
+    from mb_istft_vits_tpu.train.checkpoint import (
+        latest_checkpoint_step,
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_pending_checkpoint,
+    )
+
+    state = {"w": jnp.arange(8, dtype=jnp.float32),
+             "step": jnp.asarray(7, jnp.int32)}
+    save_checkpoint(str(tmp_path), 7, state, wait=False)
+    wait_for_pending_checkpoint()
+    assert latest_checkpoint_step(str(tmp_path)) == 7
+    like = jax.tree.map(jnp.zeros_like, state)
+    restored = load_checkpoint(str(tmp_path), 7, like)
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(8, dtype=np.float32))
+    assert int(restored["step"]) == 7
+
+    # a second async save of a later step supersedes cleanly
+    state2 = {"w": jnp.ones(8, dtype=jnp.float32) * 2,
+              "step": jnp.asarray(9, jnp.int32)}
+    save_checkpoint(str(tmp_path), 9, state2, wait=True)
+    assert latest_checkpoint_step(str(tmp_path)) == 9
+
+
 def test_lr_schedule():
     cfg = tiny_config()
     from mb_istft_vits_tpu.train.step import make_lr_schedule

@@ -263,6 +263,13 @@ def main():
                                 and start_step is not None) else 0
     from mb_istft_vits_tpu.train.step import make_lr_schedule
 
+    from mb_istft_vits_tpu.train.checkpoint import (
+        wait_for_pending_checkpoint,
+    )
+    import atexit
+
+    atexit.register(wait_for_pending_checkpoint)  # async saves finalize
+
     lr_schedule = make_lr_schedule(cfg)
     t_last = time.perf_counter()
     epoch0 = global_step // max(steps_per_epoch, 1)
@@ -295,7 +302,8 @@ def main():
                 # distributed array gather): every process must enter it,
                 # or rank 0 deadlocks against ranks already in the next
                 # step's all-reduce
-                save_checkpoint(model_dir, global_step, state)
+                # async: the file write overlaps the next train steps
+                save_checkpoint(model_dir, global_step, state, wait=False)
                 if is_rank0:
                     logger.info("saved checkpoint at %d", global_step)
             if preempted["flag"]:
