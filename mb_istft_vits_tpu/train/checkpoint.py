@@ -71,11 +71,9 @@ def latest_checkpoint_step(model_dir: str) -> Optional[int]:
 
 
 def load_checkpoint(model_dir: str, step: int, target) -> Any:
-    import orbax.checkpoint as ocp
-
+    wait_for_pending_checkpoint()  # same-process async save may be in flight
     path = os.path.abspath(os.path.join(model_dir, "ckpt", str(step)))
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=target)
+    return _checkpointer().restore(path, target=target)
 
 
 def load_generator_params(path: str) -> Any:
