@@ -62,6 +62,7 @@ def main():
             rows.append((name, sid, text))
 
     os.makedirs(args.out_dir, exist_ok=True)
+    seen_names: dict = {}  # duplicate basenames must not overwrite
     total_audio, total_time = 0.0, 0.0
     for lo in range(0, len(rows), args.batch):
         chunk = rows[lo : lo + args.batch]
@@ -74,7 +75,10 @@ def main():
             seed=args.seed + lo,
         )
         for (name, _sid, _text), audio in zip(chunk, audios):
-            base = os.path.splitext(os.path.basename(name))[0] + ".wav"
+            stem = os.path.splitext(os.path.basename(name))[0]
+            n = seen_names.get(stem, 0)
+            seen_names[stem] = n + 1
+            base = f"{stem}.wav" if n == 0 else f"{stem}_{n + 1}.wav"
             write_wav(os.path.join(args.out_dir, base),
                       np.asarray(audio), module.sampling_rate)
         total_audio += timings["audio_seconds"]
