@@ -20,6 +20,10 @@ import numpy as np
 
 
 def main():
+    from mb_istft_vits_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+
     import jax
     import jax.numpy as jnp
 

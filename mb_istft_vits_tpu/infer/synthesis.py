@@ -78,11 +78,18 @@ class SynthesisModule:
         seed: int = 0,
         compute_dtype=jnp.float32,
         mesh=None,
+        aot_cache_dir: Optional[str] = None,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis. Single-
         utterance calls stay single-device (latency path); synthesize_batch
         shards its batch over the mesh so offline synthesis fans out across
-        chips via XLA SPMD (SURVEY.md §5.7 plan)."""
+        chips via XLA SPMD (SURVEY.md §5.7 plan).
+
+        aot_cache_dir: persist compiled serving executables there
+        (utils/aot.py). The first deploy compiles and stores; every later
+        process start loads executables in milliseconds instead of paying
+        the multi-minute XLA cold start. Single-device runtimes only
+        (ignored with a mesh)."""
         self.config = Config.from_json(config_path)
         self.cfg = self.config.model
         self.data_cfg = self.config.data
@@ -139,6 +146,13 @@ class SynthesisModule:
         self.hop_length = self.data_cfg.hop_length
         self.sampling_rate = self.data_cfg.sampling_rate
 
+        self._aot = None
+        if aot_cache_dir is not None and self.mesh is None:
+            from mb_istft_vits_tpu.utils.aot import AotCache
+
+            if AotCache.usable():
+                self._aot = AotCache(aot_cache_dir)
+
         self._infer_jit = functools.lru_cache(maxsize=None)(self._build_infer)
         self._latents_jit = functools.lru_cache(maxsize=None)(
             self._build_latents
@@ -163,6 +177,13 @@ class SynthesisModule:
     # ------------------------------------------------------------------
     # compiled program builders (one per static shape bucket)
     # ------------------------------------------------------------------
+    def _maybe_aot(self, name: str, jitted):
+        """Route a serving program through the AOT executable cache when
+        one is configured (constructor `aot_cache_dir`)."""
+        if self._aot is None:
+            return jitted
+        return self._aot.wrap(name, jitted)
+
     def _build_infer(self, max_frames: int):
         def fn(params, x, x_lengths, sid, noise_scale, length_scale,
                noise_scale_w, rng):
@@ -179,7 +200,7 @@ class SynthesisModule:
             pcm16 = jnp.round(pcm * 32767.0).astype(jnp.int16)
             return out, pcm16
 
-        return jax.jit(fn)
+        return self._maybe_aot(f"infer_f{max_frames}", jax.jit(fn))
 
     def _build_latents(self, max_frames: int):
         def fn(params, x, x_lengths, sid, noise_scale, length_scale,
@@ -191,7 +212,7 @@ class SynthesisModule:
                 method=Synthesizer.infer_z_only, rngs={"noise": rng},
             )
 
-        return jax.jit(fn)
+        return self._maybe_aot(f"latents_f{max_frames}", jax.jit(fn))
 
     def _build_decode(self, n_frames: int):
         def fn(params, z, sid):
@@ -204,7 +225,7 @@ class SynthesisModule:
             pcm = jnp.clip(o[..., 0].astype(jnp.float32), -1.0, 1.0)
             return jnp.round(pcm * 32767.0).astype(jnp.int16)
 
-        return jax.jit(fn)
+        return self._maybe_aot(f"decode_f{n_frames}", jax.jit(fn))
 
     # ------------------------------------------------------------------
     # text frontend (reference synthesis_module.py:34-74)
@@ -686,7 +707,7 @@ class SynthesisModule:
             )
             return spec, phase
 
-        return jax.jit(fn)
+        return self._maybe_aot(f"decode_spec_f{n_frames}", jax.jit(fn))
 
     def _build_spec_tail(self, n_spec_frames: int):
         """Jitted iSTFT(+synthesis-filter) tail applied to a full joined
@@ -723,7 +744,7 @@ class SynthesisModule:
                 )
             return PQMFBank(subbands=cfg.subbands).synthesis(y_mb)
 
-        return jax.jit(fn)
+        return self._maybe_aot(f"spec_tail_f{n_spec_frames}", jax.jit(fn))
 
     @staticmethod
     def _best_frame_shift(a: np.ndarray, b: np.ndarray,
@@ -971,7 +992,7 @@ class SynthesisModule:
                     method=Synthesizer.predict_frames, rngs={"noise": rng},
                 )
 
-            self._probe_jit = jax.jit(probe)
+            self._probe_jit = self._maybe_aot("probe", jax.jit(probe))
         return self._probe_jit(self.params, x, x_lengths, sid, length_scale,
                                noise_scale_w, rng)
 

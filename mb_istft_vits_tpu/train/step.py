@@ -24,7 +24,6 @@ all-reduces over ICI (replacing DDP backward hooks).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax
@@ -150,12 +149,16 @@ def _cast_floating(tree, dtype):
 
 def make_train_step(cfg: Config, synth: Synthesizer,
                     disc: MultiPeriodDiscriminator,
-                    compute_dtype=None):
+                    compute_dtype=None, aot_cache=None):
     """Returns train_step(state, batch) -> (state, metrics).
 
     The returned callable internally runs TWO jitted programs (see module
     docstring). Do NOT wrap it in jax.jit — that would re-fuse them into
     one oversized executable.
+
+    aot_cache: optional utils.aot.AotCache; the two programs' compiled
+    executables are persisted there, so a resumed/relaunched run skips
+    the multi-minute XLA cold start (single-device runs only).
 
     Mixed precision (the reference's `fp16_run` autocast+GradScaler,
     train_latest.py:127,163,202 — bf16 on TPU, so no loss scaling):
@@ -232,7 +235,6 @@ def make_train_step(cfg: Config, synth: Synthesizer,
     # reproduces the exact z/slice of the full forward under the same
     # rngs — so D sees bit-identical fakes at ~half the forward FLOPs.
     # ------------------------------------------------------------------
-    @jax.jit
     def d_step(state: TrainState, batch):
         batch = _prep(batch)
         rngs = step_rngs(state)
@@ -272,7 +274,6 @@ def make_train_step(cfg: Config, synth: Synthesizer,
     # afterwards), so donate their buffers: the optimizer update writes
     # in place instead of copying ~2x the parameter+moment memory per step
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
     def g_step(state: TrainState, batch, new_params_d, new_opt_d,
                loss_disc, grad_norm_d, spec):
         # NOT donated: in host-spec mode `spec` aliases the caller's
@@ -358,6 +359,12 @@ def make_train_step(cfg: Config, synth: Synthesizer,
             rng=state.rng,
         )
         return new_state, metrics
+
+    d_step = jax.jit(d_step)
+    g_step = jax.jit(g_step, donate_argnums=(0, 2, 3))
+    if aot_cache is not None:
+        d_step = aot_cache.wrap("d_step", d_step)
+        g_step = aot_cache.wrap("g_step", g_step)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (new_params_d, new_opt_d, loss_disc, grad_norm_d,

@@ -19,6 +19,10 @@ def write_wav(path: str, audio: np.ndarray, sr: int):
 
 
 def main():
+    from mb_istft_vits_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("-k", "--checkpoint", default=None,

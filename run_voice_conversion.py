@@ -10,6 +10,10 @@ from run_synthesis import write_wav
 
 
 def main():
+    from mb_istft_vits_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("-k", "--checkpoint", default=None)

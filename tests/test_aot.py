@@ -1,0 +1,167 @@
+"""AOT executable cache (utils/aot.py).
+
+The cache only engages on single-device runtimes (deserialized
+executables re-bind to the full local device set), while this suite runs
+on 8 virtual CPU devices — so the functional round-trip tests run in
+single-device subprocesses, and the in-process tests pin the
+multi-device no-op behavior.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GENERIC_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from mb_istft_vits_tpu.utils.aot import AotCache
+
+    cache = AotCache(sys.argv[1])
+    f = cache.wrap("f", jax.jit(lambda x, s: jnp.tanh(x @ x.T) * s))
+    a = f(jnp.arange(12.0, dtype=jnp.float32).reshape(3, 4), 0.5)
+    print("f_source", f.source)
+    # same entry, second signature (shape change) and a different scalar
+    # VALUE under the first signature (must NOT recompile or mis-key)
+    b = f(jnp.ones((2, 4)), 1.5)
+    a2 = f(jnp.arange(12.0, dtype=jnp.float32).reshape(3, 4), 2.0)
+    # donation must survive serialization (the train G-step donates)
+    g = cache.wrap("g", jax.jit(lambda s, d: s + d, donate_argnums=(0,)))
+    c = g(jnp.ones((3,)), 2.0 * jnp.ones((3,)))
+    print("g_source", g.source)
+    print("sums", float(np.sum(np.asarray(a))), float(np.sum(np.asarray(b))),
+          float(np.sum(np.asarray(a2))), float(np.sum(np.asarray(c))))
+""")
+
+
+def _run(script, *argv):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    out = subprocess.run(
+        [sys.executable, "-c", script, *argv],
+        capture_output=True, text=True, env=env, timeout=1200, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    return {
+        line.split()[0]: line.split()[1:]
+        for line in out.stdout.strip().splitlines() if " " in line
+    }
+
+
+def test_aot_round_trip_single_device(tmp_path):
+    cache_dir = str(tmp_path / "aot")
+    r1 = _run(GENERIC_WORKER, cache_dir)
+    assert r1["f_source"] == ["compiled"]
+    assert r1["g_source"] == ["compiled"]
+    stored = [f for f in os.listdir(cache_dir) if f.endswith(".aotx")]
+    assert len(stored) == 3  # f at two signatures + g
+
+    r2 = _run(GENERIC_WORKER, cache_dir)
+    assert r2["f_source"] == ["loaded"]
+    assert r2["g_source"] == ["loaded"]
+    # loaded executables produce bit-identical numbers
+    assert r1["sums"] == r2["sums"]
+    assert len(os.listdir(cache_dir)) == 3  # nothing re-stored
+
+
+COMMIT_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from mb_istft_vits_tpu.utils.aot import AotCache
+
+    f = jax.jit(lambda x: jnp.tanh(x @ x.T))
+    x_un = np.ones((8, 8), np.float32)                       # uncommitted
+    x_c = jax.device_put(jnp.ones((8, 8)), jax.devices()[0])  # committed
+    low_c = f.lower(x_c).as_text()
+    assert "sdy.sharding" in low_c, "committed input lost its annotation"
+
+    cache = AotCache(sys.argv[1])
+    print("keys_equal",
+          cache._key("f", f.lower(x_un)) == cache._key("f", f.lower(x_c)))
+""")
+
+
+def test_key_ignores_noop_commitment_annotations(tmp_path):
+    """An orbax-restored (device-committed) train state lowers with no-op
+    empty-mesh SDY sharding annotations that a fresh state doesn't have;
+    the cache key must treat both as the same program or every resumed
+    relaunch re-compiles what the fresh run already cached."""
+    r = _run(COMMIT_WORKER, str(tmp_path / "aot"))
+    assert r["keys_equal"] == ["True"]
+
+
+MODULE_WORKER = textwrap.dedent("""
+    import os, sys, hashlib
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from mb_istft_vits_tpu.infer.synthesis import SynthesisModule
+
+    m = SynthesisModule(sys.argv[1], aot_cache_dir=sys.argv[2])
+    m.TEXT_BUCKETS = (32, 64)
+    m.FRAME_BUCKETS = (64, 128, 256)
+    audio, _ = m.synthesize("k o N n i t i w a", seed=0)
+    print("hash", hashlib.sha256(audio.tobytes()).hexdigest())
+    sources = [m._probe_jit.source] + [
+        m._infer_jit(fb).source for fb in m.FRAME_BUCKETS
+    ]
+    print("sources", *sorted(s for s in sources if s))
+""")
+
+
+def test_synthesis_module_aot_round_trip(tmp_path):
+    cfg_path = tmp_path / "tiny.json"
+    from tests.test_infer import TINY_CONFIG
+
+    cfg_path.write_text(json.dumps(TINY_CONFIG))
+    cache_dir = str(tmp_path / "aot")
+
+    r1 = _run(MODULE_WORKER, str(cfg_path), cache_dir)
+    assert "compiled" in r1["sources"] and "loaded" not in r1["sources"]
+    assert any(f.startswith("probe-") for f in os.listdir(cache_dir))
+
+    r2 = _run(MODULE_WORKER, str(cfg_path), cache_dir)
+    assert set(r2["sources"]) == {"loaded"}  # no XLA compile paid
+    assert r1["hash"] == r2["hash"]  # bit-identical audio
+
+
+def test_aot_noop_on_multi_device(tmp_path):
+    """On this suite's 8-virtual-device runtime the cache must disengage
+    cleanly: module constructs, synthesizes, and writes nothing."""
+    import jax
+
+    assert jax.local_device_count() > 1
+    from mb_istft_vits_tpu.utils.aot import AotCache
+
+    assert not AotCache.usable()
+
+    cfg_path = tmp_path / "tiny.json"
+    from tests.test_infer import TINY_CONFIG
+
+    cfg_path.write_text(json.dumps(TINY_CONFIG))
+    from mb_istft_vits_tpu.infer.synthesis import SynthesisModule
+
+    m = SynthesisModule(str(cfg_path),
+                        aot_cache_dir=str(tmp_path / "aot"))
+    m.TEXT_BUCKETS = (32, 64)
+    m.FRAME_BUCKETS = (64, 128, 256)
+    assert m._aot is None
+    audio, _ = m.synthesize("k o N n i t i w a", seed=0)
+    assert np.all(np.isfinite(audio)) and len(audio) > 0
+    assert not os.path.exists(tmp_path / "aot") or not os.listdir(
+        tmp_path / "aot"
+    )

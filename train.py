@@ -128,11 +128,21 @@ def main():
                              "a .spec.npy cache (the reference pipeline, "
                              "data_utils.py:78-86) instead of the default "
                              "on-device spectrogram with int16 PCM feeding")
+    parser.add_argument("--aot-cache", type=str, default=None, metavar="DIR",
+                        help="persist the compiled train executables under "
+                             "DIR (utils/aot.py): relaunches and preemption "
+                             "resumes load them in seconds instead of "
+                             "re-paying the multi-minute XLA cold compile "
+                             "(single-device runs only)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="raise on NaN/Inf in jitted computations "
                              "(the reference's always-on "
                              "set_detect_anomaly, train_latest.py:40)")
     args = parser.parse_args()
+
+    from mb_istft_vits_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         import jax
@@ -231,7 +241,18 @@ def main():
                         if snapped != start_step else "",
                         " (optimizer reset)" if args.reset_optimizer else "")
 
-    step_fn = make_train_step(cfg, synth, disc)
+    aot_cache = None
+    if args.aot_cache:
+        from mb_istft_vits_tpu.utils.aot import AotCache
+
+        if AotCache.usable():
+            aot_cache = AotCache(args.aot_cache)
+            if is_rank0:
+                logger.info("aot: caching train executables under %s",
+                            args.aot_cache)
+        elif is_rank0:
+            logger.info("aot: disabled (multi-device runtime)")
+    step_fn = make_train_step(cfg, synth, disc, aot_cache=aot_cache)
 
     writer = None
     if is_rank0:
