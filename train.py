@@ -22,6 +22,9 @@ def get_logger(model_dir: str, filename: str = "train.log"):
     """reference utils.py:228-240"""
     logger = logging.getLogger(os.path.basename(model_dir))
     logger.setLevel(logging.DEBUG)
+    # orbax/absl attach a root handler on first checkpoint restore; without
+    # this every later line would print twice (once per handler chain)
+    logger.propagate = False
     formatter = logging.Formatter(
         "%(asctime)s\t%(name)s\t%(levelname)s\t%(message)s"
     )
