@@ -15,6 +15,10 @@ import numpy as np
 
 
 def main():
+    from mb_istft_vits_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/ljs_mb_istft_vits.json")
     parser.add_argument("--batch", type=int, default=0,

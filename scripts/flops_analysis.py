@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from mb_istft_vits_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="configs/ljs_mb_istft_vits.json")
     parser.add_argument("--batch", type=int, default=32)

@@ -10,6 +10,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from mb_istft_vits_tpu.utils.platform import apply_env_platform
+
+apply_env_platform()
+
 import jax
 import jax.numpy as jnp
 
