@@ -14,9 +14,41 @@ weights (RTF is weight-independent), bf16 compute.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _devices_or_die(timeout_s: float = 480.0):
+    """Backend init with a watchdog: a wedged TPU tunnel blocks
+    jax.devices() indefinitely (observed: >45 min with no error). Fail
+    loudly instead of hanging the caller; no JSON is printed on failure
+    so a dead tunnel can never be recorded as a benchmark result."""
+    import threading
+
+    import jax
+
+    result = {}
+
+    def _init():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - backend-dependent
+            result["error"] = e
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(f"bench: backend init did not complete in {timeout_s:.0f}s "
+              f"(wedged TPU tunnel?) — aborting", file=sys.stderr)
+        import os
+
+        os._exit(1)
+    if "error" in result:
+        raise result["error"]
+    return result["devices"]
 
 
 def main():
@@ -24,12 +56,11 @@ def main():
 
     apply_env_platform()
 
-    import jax
     import jax.numpy as jnp
 
     from mb_istft_vits_tpu.infer.synthesis import SynthesisModule
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    on_tpu = any(d.platform == "tpu" for d in _devices_or_die())
     module = SynthesisModule(
         "configs/ljs_mb_istft_vits.json",
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
