@@ -199,23 +199,16 @@ class ExportedServing:
                                    f"infer_t{tb}_f{fb}.jaxexp"), "rb") as fh:
                 self._infer[(tb, fb)] = jax.export.deserialize(fh.read())
 
-    # -- frontend (same host-side path as SynthesisModule) --------------
+    # -- frontend (the SAME host-side path as SynthesisModule) ----------
     def text_to_ids(self, text: str) -> np.ndarray:
-        from mb_istft_vits_tpu.text import (
-            cleaned_text_to_sequence,
-            intersperse,
-            text_to_sequence,
-        )
+        from mb_istft_vits_tpu.text import frontend_ids
 
         fe = self.manifest["frontend"]
-        if fe["cleaned_text"]:
-            ids = cleaned_text_to_sequence(text, fe["text_module"])
-        else:
-            ids = text_to_sequence(text, fe["text_cleaners"],
-                                   fe["text_module"])
-        if fe["add_blank"]:
-            ids = intersperse(ids, 0)
-        return np.asarray(ids, np.int32)
+        return np.asarray(
+            frontend_ids(text, fe["text_module"], fe["text_cleaners"],
+                         fe["add_blank"], fe["cleaned_text"]),
+            np.int32,
+        )
 
     def _buckets_for(self, n_ids: int) -> Tuple[int, list]:
         tbs = sorted({tb for tb, _ in self._infer})
@@ -243,7 +236,15 @@ class ExportedServing:
         frames = int(np.asarray(self._probe[tb].call(
             self.params, x, xl, sid_arr, _scalar(length_scale),
             _scalar(noise_scale_w), rng))[0])
-        fb = next((b for b in fbs if b >= frames), fbs[-1])
+        fb = next((b for b in fbs if b >= frames), None)
+        if fb is None:
+            # the live SynthesisModule grows its bucket and retries here;
+            # an artifact has a fixed program set, so truncating silently
+            # would diverge from live serving — refuse instead
+            raise ValueError(
+                f"predicted {frames} frames exceeds every exported frame "
+                f"bucket {fbs} for text bucket {tb}; re-export with larger "
+                f"--pairs or lower length_scale")
         pcm16, y_lengths = self._infer[(tb, fb)].call(
             self.params, x, xl, sid_arr, _scalar(noise_scale),
             _scalar(length_scale), _scalar(noise_scale_w), rng)

@@ -29,12 +29,7 @@ import numpy as np
 
 from mb_istft_vits_tpu.config import Config, ModelConfig
 from mb_istft_vits_tpu.models import Synthesizer
-from mb_istft_vits_tpu.text import (
-    cleaned_text_to_sequence,
-    get_symbols,
-    intersperse,
-    text_to_sequence,
-)
+from mb_istft_vits_tpu.text import frontend_ids, get_symbols
 
 _instances: Dict[str, "SynthesisModule"] = {}
 
@@ -234,13 +229,11 @@ class SynthesisModule:
                     ) -> np.ndarray:
         cfg = self.data_cfg
         cleaned = cfg.cleaned_text if cleaned is None else cleaned
-        if cleaned:
-            ids = cleaned_text_to_sequence(text, cfg.text_module)
-        else:
-            ids = text_to_sequence(text, cfg.text_cleaners, cfg.text_module)
-        if cfg.add_blank:
-            ids = intersperse(ids, 0)
-        return np.asarray(ids, np.int32)
+        return np.asarray(
+            frontend_ids(text, cfg.text_module, cfg.text_cleaners,
+                         cfg.add_blank, cleaned),
+            np.int32,
+        )
 
     def _pad_ids(self, ids: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         t = _next_bucket(len(ids), self.TEXT_BUCKETS)

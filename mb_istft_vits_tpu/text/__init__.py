@@ -55,3 +55,19 @@ def intersperse(lst: List[int], item: int = 0) -> List[int]:
     result = [item] * (len(lst) * 2 + 1)
     result[1::2] = lst
     return result
+
+
+def frontend_ids(text: str, text_module: str, text_cleaners,
+                 add_blank: bool, cleaned_text: bool) -> List[int]:
+    """The full host-side text frontend: (cleaned_)text_to_sequence +
+    optional blank interspersal (reference data_utils.py:89-98). One
+    definition shared by live serving (SynthesisModule.text_to_ids) and
+    exported-artifact serving (infer/export.py) so the two can never
+    tokenize the same text differently."""
+    if cleaned_text:
+        ids = cleaned_text_to_sequence(text, text_module)
+    else:
+        ids = text_to_sequence(text, text_cleaners, text_module)
+    if add_blank:
+        ids = intersperse(ids, 0)
+    return ids

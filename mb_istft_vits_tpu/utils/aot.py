@@ -101,16 +101,13 @@ class _AotEntry:
             if compiled is None:  # materialization fell back
                 return self._jitted(*args)
             self._compiled[sig] = compiled
-        try:
-            return compiled(*args)
-        except Exception:  # pytree-structure drift within a signature
-            logger.warning(
-                "aot: executable call failed for %s; falling back to jit",
-                self._name, exc_info=True,
-            )
-            self._fallback = True
-            self.source = "jit"
-            return self._jitted(*args)
+        # No call-time fallback: once dispatched, a donating program
+        # (g_step donates its state) may already have consumed its input
+        # buffers — retrying through plain jit would crash on deleted
+        # arrays and mask the real error. A call failure here is a
+        # genuine runtime error; every *load/compile* failure path above
+        # falls back safely before any buffer is touched.
+        return compiled(*args)
 
     def _materialize(self, args) -> Optional[Callable]:
         try:
@@ -179,8 +176,11 @@ class AotCache:
 
     @staticmethod
     def usable() -> bool:
-        """Single-device runtimes only (see module docstring)."""
-        return jax.local_device_count() == 1
+        """Single-device runtimes only (see module docstring) — GLOBAL
+        device count: a 2-host x 1-chip run has local_device_count()==1
+        but compiles 2-device SPMD programs, exactly the executables
+        that don't round-trip through deserialize_and_load."""
+        return jax.device_count() == 1 and jax.process_count() == 1
 
     def _key(self, name: str, lowered: Any) -> str:
         h = hashlib.sha256()

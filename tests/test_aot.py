@@ -9,13 +9,11 @@ multi-device no-op behavior.
 
 import json
 import os
-import subprocess
-import sys
 import textwrap
 
 import numpy as np
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.subproc import run_worker as _run
 
 GENERIC_WORKER = textwrap.dedent("""
     import os, sys
@@ -41,21 +39,6 @@ GENERIC_WORKER = textwrap.dedent("""
     print("sums", float(np.sum(np.asarray(a))), float(np.sum(np.asarray(b))),
           float(np.sum(np.asarray(a2))), float(np.sum(np.asarray(c))))
 """)
-
-
-def _run(script, *argv):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    out = subprocess.run(
-        [sys.executable, "-c", script, *argv],
-        capture_output=True, text=True, env=env, timeout=1200, cwd=REPO,
-    )
-    assert out.returncode == 0, out.stderr[-4000:]
-    return {
-        line.split()[0]: line.split()[1:]
-        for line in out.stdout.strip().splitlines() if " " in line
-    }
 
 
 def test_aot_round_trip_single_device(tmp_path):

@@ -8,29 +8,12 @@ CPU device per worker keeps them fast.
 """
 
 import json
-import os
-import subprocess
-import sys
 import wave
 
 import numpy as np
 
+from tests.subproc import run_cli as _run_cli
 from tests.test_infer import TINY_CONFIG
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _run_cli(script, args, cwd):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, script), *args],
-        capture_output=True, text=True, env=env, timeout=1200, cwd=cwd,
-    )
-    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-4000:])
-    return out
 
 
 def _read_wav(path):

@@ -7,13 +7,11 @@ plus cross-platform lowering and param-dtype fidelity in-process.
 
 import json
 import os
-import subprocess
-import sys
 import textwrap
 
 import numpy as np
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from tests.subproc import run_worker as _run
 
 WORKER = textwrap.dedent("""
     import os, sys, hashlib, json
@@ -42,20 +40,14 @@ WORKER = textwrap.dedent("""
                        and np.array_equal(audio, ref)))
     audio2, _ = s.synthesize(text, seed=7)
     print("deterministic", int(np.array_equal(audio, audio2)))
+    # frames beyond every exported bucket must REFUSE, not silently
+    # truncate (the live module grows its bucket; an artifact can't)
+    try:
+        s.synthesize(text, seed=7, length_scale=50.0)
+        print("overflow none")
+    except ValueError:
+        print("overflow raised")
 """)
-
-
-def _run(script, *argv):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.pop("XLA_FLAGS", None)
-    out = subprocess.run(
-        [sys.executable, "-c", script, *argv],
-        capture_output=True, text=True, env=env, timeout=1200, cwd=REPO,
-    )
-    assert out.returncode == 0, out.stderr[-4000:]
-    return {line.split()[0]: line.split()[1:]
-            for line in out.stdout.strip().splitlines() if " " in line}
 
 
 def test_export_round_trip(tmp_path):
@@ -70,6 +62,7 @@ def test_export_round_trip(tmp_path):
     assert r["match"] == ["1"]
     assert r["deterministic"] == ["1"]
     assert r["n_pairs"] == ["2"]
+    assert r["overflow"] == ["raised"]
     names = sorted(os.listdir(art))
     assert "manifest.json" in names and "params.npz" in names
     assert any(n.startswith("infer_t") for n in names)
