@@ -29,8 +29,7 @@ class PrefetchIterator:
                  num_workers: int = 8, prefetch_depth: Optional[int] = None):
         self._batcher = batcher
         self._plan: List[Tuple[int, List[int]]] = batcher.epoch_batches(epoch)
-        self._pool = ThreadPoolExecutor(max_workers=num_workers,
-                                        thread_name_prefix="loader")
+        self._num_workers = num_workers
         # default the in-flight window to the worker count — a
         # smaller depth would leave workers idle and halve the
         # advertised DataLoader(num_workers=8) parallelism
@@ -40,24 +39,31 @@ class PrefetchIterator:
         return len(self._plan)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # pool per iteration, not per instance: an early `break` out of
+        # the batch loop (max-steps cutoff, preemption) shuts this
+        # pool down via the generator's finally, and a later
+        # re-iteration must get a fresh one instead of 'cannot schedule
+        # new futures after shutdown'
+        pool = ThreadPoolExecutor(max_workers=self._num_workers,
+                                  thread_name_prefix="loader")
         futures = []
         submitted = 0
         try:
             while submitted < len(self._plan) and len(futures) < self._depth:
                 bi, idx = self._plan[submitted]
-                futures.append(self._pool.submit(self._batcher.make_batch,
-                                                 bi, idx))
+                futures.append(pool.submit(self._batcher.make_batch,
+                                           bi, idx))
                 submitted += 1
             for i in range(len(self._plan)):
                 batch = futures.pop(0).result()
                 if submitted < len(self._plan):
                     bi, idx = self._plan[submitted]
-                    futures.append(self._pool.submit(
+                    futures.append(pool.submit(
                         self._batcher.make_batch, bi, idx))
                     submitted += 1
                 yield batch
         finally:
-            self._pool.shutdown(wait=False, cancel_futures=True)
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def prefetch_epoch(batcher: BucketedBatcher, epoch: int,

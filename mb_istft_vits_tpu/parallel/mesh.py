@@ -54,18 +54,16 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     `jax.make_array_from_process_local_data` (each host contributes its
     slice; no data ever moves over DCN for input feeding).
     """
+    # (jax.tree.map never visits None — it's an empty pytree node — so
+    # no None guards are needed in any of these leaf functions)
     if mesh.size == 1:
-        return jax.tree.map(
-            lambda x: None if x is None else jax.device_put(x), batch
-        )
+        return jax.tree.map(jax.device_put, batch)
     sharding = batch_sharding(mesh, axis_name)
 
     if jax.process_count() > 1:
         n_proc = jax.process_count()
 
         def put_global(x):
-            if x is None:
-                return None
             local = np.asarray(x)
             global_shape = (local.shape[0] * n_proc,) + local.shape[1:]
             return jax.make_array_from_process_local_data(
@@ -75,8 +73,6 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
         return jax.tree.map(put_global, batch)
 
     def put(x):
-        if x is None:
-            return None
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)

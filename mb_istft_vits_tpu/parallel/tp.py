@@ -59,7 +59,20 @@ def create_2d_mesh(
     if devices is None:
         devices = jax.devices()
     if n_data is None:
+        # derived data axis must tile the device set exactly: fail here,
+        # not with an opaque zero-device-mesh XLA error far downstream —
+        # and never silently idle remainder chips
         n_data = len(devices) // n_model
+        if n_data < 1 or n_data * n_model != len(devices):
+            raise ValueError(
+                f"n_model={n_model} does not tile the {len(devices)} "
+                f"available devices; pass n_data explicitly to use a "
+                f"subset")
+    elif n_data * n_model > len(devices):
+        raise ValueError(
+            f"data x model = {n_data} x {n_model} needs "
+            f"{n_data * n_model} devices, have {len(devices)}")
+    # an explicit (n_data, n_model) pair may use a subset deliberately
     devices = np.asarray(devices[: n_data * n_model]).reshape(
         n_data, n_model
     )

@@ -75,7 +75,9 @@ class StreamResampler:
 
 
 def to_int16(audio: np.ndarray) -> np.ndarray:
-    return (np.clip(audio, -1.0, 1.0) * 32767).astype(np.int16)
+    from mb_istft_vits_tpu.utils.audio import float_to_int16
+
+    return float_to_int16(audio)
 
 
 class IncrementalTTS:
@@ -144,12 +146,25 @@ class IncrementalTTS:
         with self._lock:
             return uid in self._revoked
 
+    def _revoke_done(self, uid: str) -> None:
+        """The revoked utterance's lifecycle is over (its end marker or
+        queued text has been consumed) — release the id. Tying eviction
+        to completion (not the insertion-order cap alone) means a burst
+        of later revokes can't evict a still-pending one and un-revoke
+        it; the cap stays as a backstop for ids that were revoked but
+        never submitted."""
+        with self._lock:
+            self._revoked.pop(uid, None)
+
     def _synthesize_loop(self) -> None:
         while not self._stop.is_set():
             req = self._text_q.get()
             if req is None:
                 break
             if self._is_revoked(req.utterance_id):
+                # queued text dropped before synthesis; nothing of this
+                # utterance can reach the audio queue anymore
+                self._revoke_done(req.utterance_id)
                 continue
             try:
                 # latents once, decode incrementally (streaming chunks
@@ -193,6 +208,8 @@ class IncrementalTTS:
                 continue
             if self._is_revoked(uid_new):
                 buf = np.zeros(0, np.float32)
+                if audio is None:  # end marker: lifecycle over
+                    self._revoke_done(uid_new)
                 continue
             uid = uid_new
             if audio is not None:
@@ -202,12 +219,37 @@ class IncrementalTTS:
             # flush (chunk = whatever is left), so every chunk — tail
             # included — goes through the same encode + pacing path
             while len(buf) >= self.chunk_samples or (flush and len(buf)):
+                # re-check every paced iteration: REVOKE (or stop) must
+                # flush the remaining buffered audio immediately, not
+                # after the current decode chunk finishes pacing out —
+                # with 20 ms pacing a 64-frame decode chunk would
+                # otherwise keep the bot speaking ~0.75 s past the
+                # barge-in (reference contract: revoke flushes pending
+                # audio, tts_vits.py REVOKE handling)
+                if self._stop.is_set() or self._is_revoked(uid):
+                    buf = np.zeros(0, np.float32)
+                    break
                 chunk, buf = (buf[: self.chunk_samples],
                               buf[self.chunk_samples :])
                 pcm = to_int16(chunk).tobytes()
                 payload = (base64.b64encode(pcm) if self.base64_encode
                            else pcm)
-                self.on_chunk(uid, payload)
+                try:
+                    self.on_chunk(uid, payload)
+                except Exception as e:
+                    # the sender daemon must survive a failing transport
+                    # callback — otherwise audio queues forever and the
+                    # engine is silently mute. Drop this utterance's
+                    # remaining audio and keep serving.
+                    buf = np.zeros(0, np.float32)
+                    if self.on_error is not None:
+                        self.on_error(uid, e)
+                    else:
+                        import logging
+
+                        logging.getLogger(__name__).exception(
+                            "chunk delivery failed for utterance %r", uid)
+                    break
                 if self.send_interval:
                     time.sleep(self.send_interval)
 
@@ -217,7 +259,9 @@ class RemdisTTSModule:
     (tts_vits.py:24-252). Requires the optional `pika` package."""
 
     def __init__(self, synthesis_module, host: str = "localhost",
-                 in_exchange: str = "dialogue", out_exchange: str = "tts"):
+                 in_exchange: str = "dialogue", out_exchange: str = "tts",
+                 out_sample_rate: Optional[int] = None, chunk_ms: int = 20,
+                 send_interval_ms: int = 20):
         try:
             import pika  # type: ignore # noqa: F401
         except ImportError as e:
@@ -230,7 +274,14 @@ class RemdisTTSModule:
         self.out_exchange = out_exchange
         self._pub_conn = None
         self._pub_ch = None
-        self.engine = IncrementalTTS(synthesis_module, self._publish)
+        # out_sample_rate: the reference resamples to the playback rate
+        # (librosa.resample in tts_vits.py) — expose it here or the
+        # engine's resampler is unreachable through this adapter
+        self.engine = IncrementalTTS(
+            synthesis_module, self._publish,
+            out_sample_rate=out_sample_rate, chunk_ms=chunk_ms,
+            send_interval_ms=send_interval_ms,
+        )
 
     def _publish_channel(self):
         """One long-lived publisher connection (the reference keeps a
@@ -243,6 +294,10 @@ class RemdisTTSModule:
                 pika.ConnectionParameters(host=self.host)
             )
             self._pub_ch = self._pub_conn.channel()
+            # declare before publishing: on a fresh broker an undeclared
+            # exchange 404-closes the channel on first basic_publish
+            self._pub_ch.exchange_declare(exchange=self.out_exchange,
+                                          exchange_type="fanout")
         return self._pub_ch
 
     def _publish(self, uid: str, payload: bytes) -> None:

@@ -19,8 +19,9 @@ import numpy as np
 
 def encode_wav_bytes(audio: np.ndarray, sampling_rate: int) -> bytes:
     """float [-1, 1] mono -> 16-bit PCM WAV bytes (stdlib only)."""
-    pcm = np.clip(np.asarray(audio, np.float32).reshape(-1), -1.0, 1.0)
-    pcm16 = np.round(pcm * 32767.0).astype("<i2")
+    from mb_istft_vits_tpu.utils.audio import float_to_int16
+
+    pcm16 = float_to_int16(np.asarray(audio).reshape(-1)).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -127,10 +128,13 @@ def plot_alignment_to_numpy(alignment: np.ndarray,
 
 def enable_nan_debugging() -> None:
     """jax equivalent of the reference's always-on autograd anomaly mode
-    (train_latest.py:40): raise on NaN/Inf in any jitted computation."""
+    (train_latest.py:40): raise on NaN/Inf in any jitted computation.
+    jax_debug_nans alone only traps NaN — an overflow to +/-inf (the
+    usual first symptom of divergence) needs jax_debug_infs too."""
     import jax
 
     jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_debug_infs", True)
 
 
 @contextlib.contextmanager
