@@ -34,14 +34,11 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is None and not _build_failed:
             try:
-                if not os.path.exists(_SO) or (
-                    os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-                ):
-                    subprocess.run(
-                        ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
-                         _SRC, "-o", _SO],
-                        check=True, capture_output=True,
-                    )
+                from mb_istft_vits_tpu.utils.native_build import (
+                    build_shared_lib,
+                )
+
+                build_shared_lib(_SRC, _SO)
                 lib = ctypes.CDLL(_SO)
                 lib.wav_info.argtypes = [ctypes.c_char_p,
                                          ctypes.POINTER(ctypes.c_int)]

@@ -81,7 +81,6 @@ def load_generator_params(path: str) -> Any:
     model dir (logs/<name>), its ckpt/ root, or a specific ckpt/<step>
     directory; picks the latest step for the first two. Restores without a
     target tree and returns the `params_g` subtree."""
-    import orbax.checkpoint as ocp
 
     def _is_ckpt_dir(p: str) -> bool:
         # an orbax step directory carries its metadata files
@@ -106,8 +105,7 @@ def load_generator_params(path: str) -> Any:
                 f"nor an orbax checkpoint directory"
             )
         path = os.path.join(path, str(max(steps)))
-    ckptr = ocp.StandardCheckpointer()
-    state = ckptr.restore(path, target=None)
+    state = _checkpointer().restore(path, target=None)
     if "params_g" not in state:
         raise KeyError(f"checkpoint at {path} has no params_g "
                        f"(keys: {list(state)})")
@@ -121,7 +119,12 @@ def load_generator_params(path: str) -> Any:
 def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: reference .pth files are plain tensor dicts (+
+    # scalars), which load fine without unpickling arbitrary objects —
+    # and the documented use case is PUBLIC pretrained checkpoints, so
+    # opting out of torch's safe loader would be an arbitrary-code-
+    # execution hole on downloaded files
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt["model"] if "model" in ckpt else ckpt
     out = {}
     for k, v in sd.items():
@@ -340,9 +343,13 @@ def export_torch_generator(params: Dict, cfg, path: str,
     """Inverse of import_torch_generator: write our Synthesizer param tree
     as a reference-format G_*.pth ({model, iteration, learning_rate,
     optimizer}) loadable by the reference's lenient utils.load_checkpoint
-    (utils.py:22-47). Buffers (stft window, PQMF filters, updown_filter)
-    are rebuilt by the reference modules' constructors and need not be
-    exported."""
+    (utils.py:22-47) — for INFERENCE/fine-tune-from-weights use: we have
+    no torch AdamW state to export, so `optimizer` is None and the
+    reference loader must be called with optimizer=None (passing one
+    would load_state_dict(None) and raise, same as its own
+    `_fixed`-trainer weights-only semantics). Buffers (stft window, PQMF
+    filters, updown_filter) are rebuilt by the reference modules'
+    constructors and need not be exported."""
     import torch
 
     sd: Dict[str, "torch.Tensor"] = {}

@@ -52,7 +52,11 @@ bool parse_wav(FILE* f, WavInfo* info) {
             info->channels = ch;
             info->sample_rate = (int)rate;
             info->bits = bits;
-            if (sz > 16 && fseek(f, sz - 16, SEEK_CUR)) return false;
+            // skip fmt extension + the RIFF odd-size pad byte (same as
+            // the generic chunk skip below — omitting it desyncs every
+            // later chunk read for odd-sized WAVEFORMATEXTENSIBLE fmts)
+            if (sz > 16 && fseek(f, (long)(sz - 16) + (sz & 1), SEEK_CUR))
+                return false;
         } else if (!memcmp(tag, "data", 4)) {
             info->data_offset = ftell(f);
             info->data_bytes = sz;
@@ -92,7 +96,12 @@ long wav_read(const char* path, float* out, long cap) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     WavInfo info;
-    if (!parse_wav(f, &info) || info.channels != 1) {
+    // full format validation BEFORE the bits division: a malformed fmt
+    // chunk declaring bits == 0 would otherwise SIGFPE the process
+    // instead of returning the documented -1 fallback
+    if (!parse_wav(f, &info) || info.channels != 1 ||
+        !((info.format == 1 && info.bits == 16) ||
+          (info.format == 3 && info.bits == 32))) {
         fclose(f);
         return -1;
     }

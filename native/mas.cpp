@@ -21,6 +21,13 @@ constexpr float kMaxNeg = -1e9f;
 
 void maximum_path_each(float* value, int32_t* path, int t_y, int t_x,
                        int stride) {
+  // Degenerate extents guard. t_x == 0 would make the backtrack write
+  // path[y*stride - 1] (out of bounds: heap before the array for item 0,
+  // the previous item's slab otherwise). t_x > t_y has no monotonic
+  // alignment at all — the reference core.pyx reads out of bounds there
+  // too — so degrade to a defined 1:1 prefix alignment instead.
+  if (t_x <= 0 || t_y <= 0) return;
+  if (t_x > t_y) t_x = t_y;
   // forward DP: value[y*stride + x] += max(advance, stay)
   for (int y = 0; y < t_y; ++y) {
     const int x_lo = std::max(0, t_x + y - t_y);

@@ -141,6 +141,33 @@ def test_maximum_path_native_cpp(rng):
     np.testing.assert_array_equal(ours, oracle)
 
 
+def test_maximum_path_native_degenerate_extents(rng):
+    """Degenerate per-item extents must stay in-bounds: t_x == 0 used to
+    write path[y*stride - 1] (corrupting the previous item's slab), and
+    t_x > t_y read out of bounds in both DP and backtrack (UB shared
+    with the reference core.pyx). Item order pins the corruption case:
+    a valid item FOLLOWED by a t_x==0 item."""
+    from mb_istft_vits_tpu.ops.mas_native import maximum_path_native
+
+    b, t_y, t_x = 3, 12, 8
+    neg_cent = rng.randn(b, t_y, t_x).astype(np.float32)
+    mask = np.zeros((b, t_y, t_x), np.float32)
+    mask[0, :10, :6] = 1.0   # valid item
+    mask[1, :10, :0] = 1.0   # t_x == 0 (fully masked text)
+    mask[2, :5, :8] = 1.0    # t_x > t_y (no monotonic alignment)
+    paths = maximum_path_native(neg_cent, mask)
+    # item 0 matches the oracle and is NOT corrupted by item 1
+    oracle0 = maximum_path_numpy(neg_cent[:1], mask[:1])
+    np.testing.assert_array_equal(paths[:1], oracle0)
+    # t_x == 0: empty path
+    assert paths[1].sum() == 0
+    # t_x > t_y: defined 1:1 prefix — one token per frame, clamped to
+    # the first t_y tokens, nothing outside the item's valid region
+    assert np.array_equal(paths[2].sum(axis=1)[:5], np.ones(5))
+    assert paths[2][:, 5:].sum() == 0
+    assert paths[2][5:, :].sum() == 0
+
+
 def test_timing_signal_matches_reference_formula():
     """Sinusoid position signal vs an independent numpy transcription of
     the transformer formula (reference commons.py:67-94)."""
