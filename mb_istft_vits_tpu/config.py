@@ -117,6 +117,14 @@ class ModelConfig:
         m = hps.model
         fields = {f.name for f in dataclasses.fields(ModelConfig)}
         kwargs = {k: v for k, v in m.items() if k in fields}
+        # JSON lists -> (nested) tuples so a loaded config is hashable
+        # exactly like a default-constructed one (the serving layer
+        # lru_caches on config-derived keys)
+        for k, v in kwargs.items():
+            if isinstance(v, list):
+                kwargs[k] = tuple(
+                    tuple(x) if isinstance(x, list) else x for x in v
+                )
         # `subbands: false` in istft-only configs — normalize to int
         if not kwargs.get("subbands"):
             kwargs["subbands"] = 4

@@ -178,7 +178,10 @@ class TextAudioDataset:
             # spectrogram computed on-device inside the train step; no
             # host FFT, no .spec.npy cache
             return None, audio_norm.astype(np.float32)
-        spec_filename = filename.replace(".wav", ".spec.npy")
+        # splitext, not str.replace: replace(".wav", ...) would rewrite a
+        # ".wav" occurring in a DIRECTORY name and silently no-op for
+        # other extensions (making np.load read the raw audio file)
+        spec_filename = os.path.splitext(filename)[0] + ".spec.npy"
         if os.path.exists(spec_filename):
             spec = np.load(spec_filename)
         else:
@@ -189,8 +192,14 @@ class TextAudioDataset:
             try:
                 # atomic write: concurrent loader threads (bucket padding
                 # duplicates indices) or a second host on a shared FS must
-                # never np.load a half-written cache file
-                tmp = f"{spec_filename}.tmp.{os.getpid()}"
+                # never np.load a half-written cache file; the tmp name
+                # must be unique per THREAD too — 8 prefetch workers share
+                # one pid, and two of them truncating the same tmp file
+                # would publish a half-written cache
+                import threading
+
+                tmp = (f"{spec_filename}.tmp."
+                       f"{os.getpid()}.{threading.get_ident()}")
                 with open(tmp, "wb") as f:
                     np.save(f, spec)
                 os.replace(tmp, spec_filename)
@@ -279,9 +288,9 @@ class BucketedBatcher:
             tb = self.num_replicas * self.batch_size
             rem = (tb - len(ids) % tb) % tb
             if rem and len(ids):
-                ids = ids + (ids * (rem // len(ids)))[: max(0, rem - rem %
-                                                            len(ids))] \
-                    + ids[: rem % len(ids)]
+                # pad to a total-batch multiple by replicating the id list
+                # (reference DistributedBucketSampler, data_utils.py:352)
+                ids = ids + ids * (rem // len(ids)) + ids[: rem % len(ids)]
             ids = ids[self.rank :: self.num_replicas]
             for j in range(len(ids) // self.batch_size):
                 chunk = ids[j * self.batch_size : (j + 1) * self.batch_size]

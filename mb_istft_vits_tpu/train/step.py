@@ -67,6 +67,28 @@ def make_lr_schedule(cfg: Config):
     return schedule
 
 
+def retime_opt_state(opt_state, step: int):
+    """Rewrite every optax `count` leaf (scale_by_adam bias correction,
+    scale_by_schedule's lr step) to `step`.
+
+    Used when resume snaps `state.step` down to an epoch boundary
+    (train.py): the restored counts still hold the unsnapped value, so
+    without this the schedule drifts ahead of `state.step` by the
+    replayed steps — accumulating on every preemption resume — and the
+    applied lr silently diverges from the logged one."""
+    def _retime(node):
+        if isinstance(node, tuple):
+            if hasattr(node, "_fields"):  # optax NamedTuple state
+                vals = {f: _retime(getattr(node, f)) for f in node._fields}
+                if "count" in node._fields:
+                    vals["count"] = jnp.asarray(step, node.count.dtype)
+                return node._replace(**vals)
+            return tuple(_retime(x) for x in node)
+        return node
+
+    return _retime(opt_state)
+
+
 def make_optimizers(cfg: Config):
     lr = make_lr_schedule(cfg)
     b1, b2 = cfg.train.betas

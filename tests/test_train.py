@@ -319,3 +319,54 @@ def test_summarize_audio_without_soundfile(tmp_path):
     writer.close()
     events = list(tmp_path.glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > len(wav)
+
+
+def test_retime_opt_state_resets_every_count():
+    """Resume snap (train.py) must rewrite optax's internal counts —
+    scale_by_schedule's lr step AND scale_by_adam's bias-correction
+    count — or the applied lr drifts ahead of state.step on every
+    preemption resume."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mb_istft_vits_tpu.train.step import (
+        make_optimizers,
+        retime_opt_state,
+    )
+    cfg = tiny_config()
+    tx_g, _ = make_optimizers(cfg)
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+    opt = tx_g.init(params)
+    for _ in range(5):
+        grads = jax.tree.map(jnp.ones_like, params)
+        _, opt = tx_g.update(grads, opt, params)
+
+    def counts(tree):
+        out = []
+
+        def walk(n):
+            if isinstance(n, tuple):
+                if hasattr(n, "_fields"):
+                    if "count" in n._fields:
+                        out.append(int(n.count))
+                    for f in n._fields:
+                        walk(getattr(n, f))
+                else:
+                    for x in n:
+                        walk(x)
+
+        walk(tree)
+        return out
+
+    assert counts(opt) and all(c == 5 for c in counts(opt))
+    snapped = retime_opt_state(opt, 2)
+    assert counts(snapped) and all(c == 2 for c in counts(snapped))
+    # moments untouched (every non-count leaf bit-identical), structure
+    # preserved, and the optimizer still updates from the snapped state
+    for a, b in zip(jax.tree.leaves(opt), jax.tree.leaves(snapped)):
+        if np.asarray(a).ndim > 0:  # counts are the only scalar leaves
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt2 = tx_g.update(grads, snapped, params)
+    assert all(c == 3 for c in counts(opt2))

@@ -45,7 +45,12 @@ def check_git_hash(model_dir: str, logger):
     source_dir = os.path.dirname(os.path.realpath(__file__))
     if not os.path.exists(os.path.join(source_dir, ".git")):
         return
-    cur_hash = subprocess.getoutput("git rev-parse HEAD")
+    # resolve HEAD of THIS repo, not whatever git repo the process was
+    # launched from (subprocess.getoutput runs in the CWD)
+    cur_hash = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=source_dir,
+        capture_output=True, text=True,
+    ).stdout.strip()
     path = os.path.join(model_dir, "githash")
     if os.path.exists(path):
         saved = open(path).read()
@@ -56,7 +61,22 @@ def check_git_hash(model_dir: str, logger):
         open(path, "w").write(cur_hash)
 
 
-def evaluate(cfg, synth, state, writer, global_step, logger):
+def make_eval_dataset(cfg, logger):
+    """Build the validation dataset ONCE at startup (filelist parse +
+    text cleaning for every row is seconds-to-minutes of host work with
+    phonemizer-backed cleaners — too much to repeat every eval, and a
+    broken validation filelist should surface before training starts)."""
+    from mb_istft_vits_tpu.data import TextAudioDataset
+
+    try:
+        return TextAudioDataset(cfg.data.validation_files, cfg.data,
+                                seed=cfg.train.seed)
+    except (OSError, ValueError, IndexError, KeyError) as e:
+        logger.warning("eval disabled: %s", e)
+        return None
+
+
+def evaluate(cfg, synth, state, writer, global_step, logger, eval_ds):
     """Synthesize one validation utterance (per speaker for multi-speaker)
     to TensorBoard, plus ground truth and alignment/mel plots
     (reference train_latest.py:256-263,275-319)."""
@@ -64,17 +84,10 @@ def evaluate(cfg, synth, state, writer, global_step, logger):
     import jax.numpy as jnp
     import numpy as np
 
-    from mb_istft_vits_tpu.data import TextAudioDataset
     from mb_istft_vits_tpu.models import Synthesizer
     from mb_istft_vits_tpu.utils import plot_alignment_to_numpy, summarize
 
-    try:
-        eval_ds = TextAudioDataset(cfg.data.validation_files, cfg.data,
-                                   seed=cfg.train.seed)
-    except (OSError, ValueError, IndexError, KeyError) as e:
-        logger.warning("eval skipped: %s", e)
-        return
-    if len(eval_ds) == 0 or writer is None:
+    if eval_ds is None or len(eval_ds) == 0 or writer is None:
         return
     # fetch the (data-parallel-replicated) params to host once: under
     # multi-host SPMD the train-state arrays span all hosts' devices, and
@@ -191,12 +204,18 @@ def main():
         rank=jax.process_index(),
     )
     steps_per_epoch = len(batcher)
-    cfg = Config(
-        model=cfg.model, data=cfg.data,
-        train=cfg.train.__class__(
-            **{**cfg.train.__dict__, "steps_per_epoch": steps_per_epoch}
-        ),
-    )
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset produced 0 batches ({len(dataset)} usable rows in "
+            f"{cfg.data.training_files}, batch_size "
+            f"{cfg.train.batch_size} x {n_hosts} hosts) — every row was "
+            f"filtered (text-length gate / bucket range) or the filelist "
+            f"is too small")
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       steps_per_epoch=steps_per_epoch))
     if is_rank0:
         logger.info("dataset: %d utts, %d steps/epoch", len(dataset),
                     steps_per_epoch)
@@ -236,8 +255,18 @@ def main():
         if snapped != int(state.step):
             import jax.numpy as jnp
 
-            state = state.replace(step=jnp.asarray(snapped,
-                                                   state.step.dtype))
+            from mb_istft_vits_tpu.train.step import retime_opt_state
+
+            # snap the optimizer's internal counts too (lr schedule +
+            # adam bias correction) — the restored counts hold the
+            # unsnapped step, and replaying the epoch would leave them
+            # permanently ahead of state.step, drifting the applied lr
+            # on every preemption resume
+            state = state.replace(
+                step=jnp.asarray(snapped, state.step.dtype),
+                opt_state_g=retime_opt_state(state.opt_state_g, snapped),
+                opt_state_d=retime_opt_state(state.opt_state_d, snapped),
+            )
         if is_rank0:
             logger.info("resumed from step %d%s%s", start_step,
                         f" (snapped to epoch boundary {snapped})"
@@ -295,6 +324,23 @@ def main():
     atexit.register(wait_for_pending_checkpoint)  # async saves finalize
 
     lr_schedule = make_lr_schedule(cfg)
+    eval_ds = make_eval_dataset(cfg, logger) if is_rank0 else None
+
+    def preempt_agreed() -> bool:
+        """Multi-host: hosts must AGREE on when to enter the collective
+        checkpoint save — preemption SIGTERMs land milliseconds apart,
+        and one host entering save(N) while another dispatches step N+1's
+        all-reduce deadlocks the job. A max-allgather of the local flag
+        each step keeps every host on the same decision (single-host:
+        just the local flag, no collective)."""
+        if n_hosts == 1:
+            return preempted["flag"]
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(preempted["flag"], np.int32))
+        return bool(np.max(flags))
+
     t_last = time.perf_counter()
     epoch0 = global_step // max(steps_per_epoch, 1)
     for epoch in range(epoch0, cfg.train.epochs):
@@ -321,7 +367,8 @@ def main():
                         writer.add_scalar(k, v, global_step)
             if global_step % cfg.train.eval_interval == 0:
                 if is_rank0:
-                    evaluate(cfg, synth, state, writer, global_step, logger)
+                    evaluate(cfg, synth, state, writer, global_step, logger,
+                             eval_ds)
                 # orbax save is a COLLECTIVE under multi-host (barrier +
                 # distributed array gather): every process must enter it,
                 # or rank 0 deadlocks against ranks already in the next
@@ -330,7 +377,7 @@ def main():
                 save_checkpoint(model_dir, global_step, state, wait=False)
                 if is_rank0:
                     logger.info("saved checkpoint at %d", global_step)
-            if preempted["flag"]:
+            if preempt_agreed():
                 save_checkpoint(model_dir, global_step, state)
                 if is_rank0:
                     logger.info(
