@@ -489,12 +489,22 @@ class SynthesisModule:
         ]
 
     @staticmethod
-    def _best_shift(a: np.ndarray, b: np.ndarray, max_shift: int) -> int:
+    def _best_shift(a: np.ndarray, b: np.ndarray, max_shift: int,
+                    lo: Optional[int] = None,
+                    hi: Optional[int] = None) -> int:
         """Cross-correlation shift search between two overlap windows
-        (the reference notebooks' `find_best_shift`, infer.ipynb cell 8)."""
+        (the reference notebooks' `find_best_shift`, infer.ipynb cell 8).
+
+        lo/hi bound the search to FEASIBLE shifts (the caller's decoded
+        window has limited slack — a middle chunk can shift only toward
+        its leading overlap). Searching the infeasible direction and
+        clamping afterwards would flatten the best shift to 0 even when
+        a nearly-as-good feasible one exists."""
+        lo = -max_shift if lo is None else max(-max_shift, lo)
+        hi = max_shift if hi is None else min(max_shift, hi)
         best, best_c = 0, -np.inf
         norm_a = a - a.mean()
-        for s in range(-max_shift, max_shift + 1):
+        for s in range(lo, hi + 1):
             if s >= 0:
                 x, y = norm_a[s:], b[: len(b) - s]
             else:
@@ -615,6 +625,7 @@ class SynthesisModule:
                 s = self._best_shift(
                     prev_tail, wav[start - ov_samps: start],
                     min(max_shift, ov_samps // 4),
+                    lo=end - len(wav), hi=start - ov_samps,
                 )
                 s = int(np.clip(s, end - len(wav), start - ov_samps))
                 start -= s
@@ -646,7 +657,10 @@ class SynthesisModule:
         self, z: np.ndarray, sid: Optional[int] = None, **kwargs
     ) -> np.ndarray:
         """Concatenated chunked decode (repairs synthesis_module.py:306-353)."""
-        return np.concatenate(list(self.stream_from_latents(z, sid, **kwargs)))
+        chunks = list(self.stream_from_latents(z, sid, **kwargs))
+        if not chunks:  # empty z: same contract as the sibling decoders
+            return np.zeros((0,), np.float32)
+        return np.concatenate(chunks)
 
     def decode_chunks_batched(
         self,
@@ -704,44 +718,24 @@ class SynthesisModule:
 
     def _build_spec_tail(self, n_spec_frames: int):
         """Jitted iSTFT(+synthesis-filter) tail applied to a full joined
-        spectrogram — the per-variant back half of the decoder heads
-        (reference models.py:294-296,366-377,461-467)."""
-        from mb_istft_vits_tpu.dsp.pqmf import PQMFBank
-        from mb_istft_vits_tpu.dsp.stft import istft
-        from mb_istft_vits_tpu.nn import Conv1d
-        from mb_istft_vits_tpu.nn.layers import get_padding
-
-        cfg = self.cfg
-        n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
+        spectrogram — the decoder head's OWN back half via
+        Synthesizer.decode_spec_tail (reference
+        models.py:294-296,366-377,461-467), so the serving join can never
+        diverge from the forward pass."""
 
         def fn(params, spec, phase):
-            if spec.ndim == 3:  # single-band iSTFT head: [B, F, bins]
-                o = istft(jnp.swapaxes(spec, 1, 2),
-                          jnp.swapaxes(phase, 1, 2), n_fft, hop, n_fft)
-                return o[..., None]
-            b, t, s, bins = spec.shape
-
-            def to_bft(z):
-                return z.transpose(0, 2, 3, 1).reshape(b * s, bins, t)
-
-            y = istft(to_bft(spec), to_bft(phase), n_fft, hop, n_fft)
-            y_mb = y.reshape(b, s, -1).transpose(0, 2, 1)  # [B, T_wav, s]
-            if cfg.ms_istft_vits:
-                bb, tt, ss = y_mb.shape
-                up = jnp.zeros((bb, tt, ss, ss), y_mb.dtype)
-                up = up.at[:, :, 0, :].set(y_mb * ss).reshape(bb, tt * ss, ss)
-                conv = Conv1d(1, 63, padding=get_padding(63, 1),
-                              use_bias=False, weight_norm=True)
-                return conv.apply(
-                    {"params": params["dec"]["multistream_conv_post"]}, up
-                )
-            return PQMFBank(subbands=cfg.subbands).synthesis(y_mb)
+            return self.model.apply(
+                {"params": params}, spec, phase,
+                method=Synthesizer.decode_spec_tail,
+            )
 
         return self._maybe_aot(f"spec_tail_f{n_spec_frames}", jax.jit(fn))
 
     @staticmethod
     def _best_frame_shift(a: np.ndarray, b: np.ndarray,
-                          max_shift: int) -> int:
+                          max_shift: int,
+                          lo: Optional[int] = None,
+                          hi: Optional[int] = None) -> int:
         """Frame-domain cross-correlation shift search between two overlap
         windows of spectrogram frames (the notebooks' find_best_frame_shift,
         infer.ipynb cell 12): LOG-magnitude, per-channel mean-centered over
@@ -756,9 +750,15 @@ class SynthesisModule:
         bf = bf - bf.mean(axis=0, keepdims=True)
         pad = np.pad(bf, ((max_shift, max_shift), (0, 0)))
         n = len(af)
-        scores = [float(np.sum(pad[k:k + n] * af))
-                  for k in range(2 * max_shift + 1)]
-        return int(np.argmax(scores)) - max_shift
+        # restrict to FEASIBLE shifts (same rationale as _best_shift):
+        # a middle chunk's decoded window has slack on one side only
+        lo = -max_shift if lo is None else max(-max_shift, lo)
+        hi = max_shift if hi is None else min(max_shift, hi)
+        if hi < lo:
+            return 0
+        ks = range(lo + max_shift, hi + max_shift + 1)
+        scores = [float(np.sum(pad[k:k + n] * af)) for k in ks]
+        return int(np.argmax(scores)) + lo
 
     def decode_spec_join(
         self,
@@ -841,7 +841,8 @@ class SynthesisModule:
                 # clamp to the valid region so length is preserved
                 s = self._best_frame_shift(
                     np.abs(prev_tail),
-                    np.abs(cspec[start_f - ov_f: start_f]), max_shift)
+                    np.abs(cspec[start_f - ov_f: start_f]), max_shift,
+                    lo=-(start_f - ov_f), hi=valid_f - end_f)
                 s = int(np.clip(s, -(start_f - ov_f), valid_f - end_f))
                 start_f += s
                 end_f += s
@@ -937,6 +938,9 @@ class SynthesisModule:
         t0 = time.perf_counter()
         ids_list = [self.text_to_ids(t, cleaned) for t in texts]
         n = len(ids_list)
+        if n == 0:
+            return [], {"total": 0.0, "audio_seconds": 0.0, "rtf": 0.0,
+                        "utterances_per_sec": 0.0}
         nb = self._batch_bucket(n)
         t_x = _next_bucket(max(len(i) for i in ids_list), self.TEXT_BUCKETS)
         x = np.zeros((nb, t_x), np.int32)
@@ -958,7 +962,10 @@ class SynthesisModule:
         rng = jax.random.PRNGKey(seed)
         frames = self._probe_jit_call(x, x_lengths, sid_arr, length_scale,
                                       noise_scale_w, rng)
-        bucket = _next_bucket(int(frames.max()), self.FRAME_BUCKETS)
+        # capped like the single-utterance path: one out-of-distribution
+        # row (or an absurd length_scale) must not compile an unboundedly
+        # large executable for the whole batch
+        bucket = self._frame_bucket_capped(int(frames.max()))
         fn = self._infer_jit(bucket)
         out, pcm16 = fn(self.params, x, x_lengths, sid_arr, noise_scale,
                         length_scale, noise_scale_w, rng)
@@ -997,8 +1004,11 @@ class SynthesisModule:
         """Synthesis with a per-stage timing dict: latents (text_encoder +
         duration_predictor + alignment + flow) and waveform_decoder."""
         t0 = time.perf_counter()
+        # prepare_shared_latents fetches z to host (np.asarray = honest
+        # device_get), so t1 is a real stage boundary — no extra sync
+        # (block_until_ready on a fresh array would not order against
+        # dispatched work, and does not wait at all on the axon runtime)
         z, y_len, sid = self.prepare_shared_latents(text, sid, **kwargs)
-        jax.block_until_ready(jnp.zeros(()))
         t1 = time.perf_counter()
         audio = self.infer_z_only(z, sid)
         t2 = time.perf_counter()

@@ -117,11 +117,18 @@ class ISTFTGenerator(nn.Module):
         x = Conv1d(self.gen_istft_n_fft + 2, 7, padding=3, weight_norm=True,
                    name="conv_post")(x)
         spec, phase = _spec_phase(x, self.gen_istft_n_fft)
+        return self.spec_tail(spec, phase), None, spec, phase  # [B, T, 1]
+
+    def spec_tail(self, spec, phase):
+        """(spec, phase) [B, F, bins] -> waveform [B, T, 1]: the head's
+        back half, exposed so the serving spec-domain join
+        (infer/synthesis.py decode_spec_join) runs the SAME code instead
+        of a copy (reference models.py:294-296)."""
         # istft wants [B, bins, frames]
         o = istft(jnp.swapaxes(spec, 1, 2), jnp.swapaxes(phase, 1, 2),
                   self.gen_istft_n_fft, self.gen_istft_hop_size,
                   self.gen_istft_n_fft)
-        return o[..., None], None, spec, phase  # [B, T, 1]
+        return o[..., None]
 
 
 class _SubbandISTFTBase(nn.Module):
@@ -154,6 +161,15 @@ class _SubbandISTFTBase(nn.Module):
         b, t, _ = x.shape
         x = x.reshape(b, t, s, n_fft + 2)
         spec, phase = _spec_phase(x, n_fft)  # [B, T, s, bins]
+        return self.bands_from_spec(spec, phase), spec, phase
+
+    def bands_from_spec(self, spec, phase):
+        """Per-band iSTFT: (spec, phase) [B, F, s, bins] -> sub-band
+        waveforms [B, T_wav, s] (reference models.py:366-373,455-461).
+        Parameter-free; shared by training/infer forward and the serving
+        spec-domain join."""
+        n_fft, s = self.gen_istft_n_fft, self.subbands
+        b, t = spec.shape[0], spec.shape[1]
         # batch the bands: [B, T, s, bins] -> [B*s, bins, T]
         def to_bft(z):
             return z.transpose(0, 2, 3, 1).reshape(b * s, n_fft // 2 + 1, t)
@@ -161,8 +177,7 @@ class _SubbandISTFTBase(nn.Module):
         y = istft(to_bft(spec), to_bft(phase), n_fft,
                   self.gen_istft_hop_size, n_fft)  # [B*s, T_wav]
         t_wav = y.shape[-1]
-        y_mb = y.reshape(b, s, t_wav).transpose(0, 2, 1)  # [B, T_wav, s]
-        return y_mb, spec, phase
+        return y.reshape(b, s, t_wav).transpose(0, 2, 1)  # [B, T_wav, s]
 
 
 class MultibandISTFTGenerator(_SubbandISTFTBase):
@@ -171,23 +186,49 @@ class MultibandISTFTGenerator(_SubbandISTFTBase):
     @nn.compact
     def __call__(self, x, g=None):
         y_mb, spec, phase = self._subband_waveforms(x, g)
-        pqmf = PQMFBank(subbands=self.subbands)
-        o = pqmf.synthesis(y_mb)  # [B, T_wav*s, 1]
+        o = self.spec_tail_from_bands(y_mb)  # [B, T_wav*s, 1]
         return o, y_mb, spec, phase
+
+    def spec_tail_from_bands(self, y_mb):
+        return PQMFBank(subbands=self.subbands).synthesis(y_mb)
+
+    def spec_tail(self, spec, phase):
+        """(spec, phase) [B, F, s, bins] -> full-band waveform; the same
+        back half the forward pass runs (serving spec-domain join)."""
+        return self.spec_tail_from_bands(self.bands_from_spec(spec, phase))
 
 
 class MultistreamISTFTGenerator(_SubbandISTFTBase):
     """Per-band iSTFT + *trainable* synthesis filters
     (reference models.py:387-474): zero-stuffing ×s upsample (the identity
-    updown_filter, models.py:463) then a learned 63-tap conv."""
+    updown_filter, models.py:463) then a learned 63-tap conv.
+
+    The synthesis conv is declared in setup() (not inline in the compact
+    __call__) so `spec_tail` — the serving spec-domain join's entry —
+    binds the SAME parameters."""
+
+    def setup(self):
+        self.multistream_conv_post = Conv1d(
+            1, 63, padding=get_padding(63, 1), use_bias=False,
+            weight_norm=True,
+        )
 
     @nn.compact
     def __call__(self, x, g=None):
         y_mb, spec, phase = self._subband_waveforms(x, g)
+        up = self._zero_stuff(y_mb)
+        o = self.multistream_conv_post(up)
+        return o, up, spec, phase  # y_mb after upsample (reference :463-467)
+
+    @staticmethod
+    def _zero_stuff(y_mb):
         b, t, s = y_mb.shape
         up = jnp.zeros((b, t, s, s), y_mb.dtype)
         up = up.at[:, :, 0, :].set(y_mb * s)
-        up = up.reshape(b, t * s, s)
-        o = Conv1d(1, 63, padding=get_padding(63, 1), use_bias=False,
-                   weight_norm=True, name="multistream_conv_post")(up)
-        return o, up, spec, phase  # y_mb after upsample (reference :463-467)
+        return up.reshape(b, t * s, s)
+
+    def spec_tail(self, spec, phase):
+        """(spec, phase) [B, F, s, bins] -> full-band waveform through
+        the learned synthesis conv (serving spec-domain join)."""
+        y_mb = self.bands_from_spec(spec, phase)
+        return self.multistream_conv_post(self._zero_stuff(y_mb))

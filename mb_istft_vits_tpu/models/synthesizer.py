@@ -365,6 +365,13 @@ class Synthesizer(nn.Module):
             z = z * y_mask
         return self.dec(z, g=g)
 
+    def decode_spec_tail(self, spec: jnp.ndarray, phase: jnp.ndarray):
+        """The decoder head's back half — (spec, phase) to waveform —
+        for the serving spec-domain join (infer/synthesis.py
+        decode_spec_join): runs the decoder's OWN tail code/params, so
+        the join cannot diverge from the forward pass."""
+        return self.dec.spec_tail(spec, phase)
+
     def voice_conversion(
         self,
         y: jnp.ndarray,
