@@ -71,7 +71,6 @@ class StochasticDurationPredictor(nn.Module):
 
     def setup(self):
         fc = self.in_channels  # reference models.py:25 override
-        self._fc = fc
         self.log_flow = Log()
         flows: List[nn.Module] = [ElementwiseAffine(2)]
         for i in range(self.n_flows):

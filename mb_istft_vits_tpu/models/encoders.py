@@ -96,8 +96,12 @@ class PosteriorEncoder(nn.Module):
         m = stats[..., : self.out_channels]
         logs = stats[..., self.out_channels :]
         if noise_rng is None:
-            eps = jnp.zeros_like(m)
-        else:
-            eps = jax.random.normal(noise_rng, m.shape, m.dtype)
+            # the reference samples unconditionally (models.py:245); a
+            # silent deterministic fallback (z = m) would collapse the
+            # posterior and quietly degrade training — fail instead
+            raise ValueError(
+                "PosteriorEncoder requires noise_rng (pass rngs={'noise': "
+                "...} through Synthesizer.apply)")
+        eps = jax.random.normal(noise_rng, m.shape, m.dtype)
         z = (m + eps * jnp.exp(logs)) * y_mask
         return z, m, logs, y_mask

@@ -93,6 +93,13 @@ def mora2phoneme(text: str, reference_compat: bool = False) -> str:
     for m, p in TABLE2.items():
         text = text.replace(m, p + " ")
     for m, p in TABLE.items():
+        # ヲ exists only in the reference's symbols.py table — its runtime
+        # mora2phoneme_jpn table lacks it, so a raw ヲ survives as a glued
+        # token and is dropped at ID mapping. compat mode must reproduce
+        # that exactly (the serving cleaner maps ヲ→オ *before* this, so
+        # real text is unaffected either way).
+        if reference_compat and m == "ヲ":
+            continue
         text = text.replace(m, p + " ")
     text = text.rstrip()
     text = text.replace(" ー", ": ")
@@ -206,7 +213,16 @@ def japanese_cleaners(text: str) -> str:
 
 def openjtalk_cleaner(text: str) -> str:
     """pyopenjtalk g2p with <cough>/bracket placeholders
-    (reference text_JP/cleaners_v2.py:5-34). Needs optional pyopenjtalk."""
+    (reference text_JP/cleaners_v2.py:5-34). Needs optional pyopenjtalk.
+
+    Reference-inherited quirk (kept for parity, documented): pyopenjtalk
+    g2p emits phonemes outside the mora-table symbol set (sh, j, cl, ty,
+    dy, v, devoiced A/I/U/E/O...), and the split-and-filter ID mapping
+    silently DROPS them — e.g. 'ちょっと' → 'ch o cl t o' loses the
+    geminate 'cl'. For raw Japanese text prefer
+    `japanese_cleaners_revised` (the serving pipeline's cleaner), which
+    converts to katakana first and phonemizes through the mora tables,
+    staying inside `symbols`."""
     try:
         import pyopenjtalk  # type: ignore
     except ImportError as e:
@@ -229,8 +245,50 @@ def openjtalk_cleaner(text: str) -> str:
     return " ".join(phonemes.split())
 
 
+def japanese_cleaners_revised(text: str) -> str:
+    """RAW Japanese text (kanji/kana mix) → phoneme tokens: the reference
+    SERVING pipeline's cleaner (synthesis_module.py:34-64
+    `_japanese_cleaner_revised`) — without it no cleaner can tokenize
+    anything but pre-katakana-ized input. Splits on {cough}/<cough>/
+    [...] placeholders and 、。 punctuation (→ separated `sp` pauses),
+    converts each plain segment to katakana via pyopenjtalk
+    g2p(kana=True) with ヲ→オ, then phonemizes through the mora tables.
+    Needs optional pyopenjtalk."""
+    try:
+        import pyopenjtalk  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "japanese_cleaners_revised needs the optional 'pyopenjtalk' "
+            "package; pre-phonemized input (cleaned_text) works without it."
+        ) from e
+
+    parts = re.split(r"({cough}|<cough>|\[.*?\]|[、。])", text)
+    phoneme_parts: List[str] = []
+    for part in parts:
+        if not part or part.isspace():
+            continue
+        if part.startswith("[") and part.endswith("]") and len(part) > 2:
+            content = part[1:-1]
+            if not content:
+                phoneme_parts.append("[ ]")
+            else:
+                kana = pyopenjtalk.g2p(content, kana=True).replace("ヲ", "オ")
+                phoneme_parts.append(f"[ {mora2phoneme(kana)} ]")
+            continue
+        if part in ("{cough}", "<cough>"):
+            phoneme_parts.append("<cough>")
+            continue
+        if part in "、。":
+            phoneme_parts.append("sp")
+            continue
+        kana = pyopenjtalk.g2p(part, kana=True).replace("ヲ", "オ")
+        phoneme_parts.append(mora2phoneme(kana))
+    return re.sub(r"\s+", " ", " ".join(phoneme_parts)).strip()
+
+
 _CLEANERS = {
     "japanese_cleaners": japanese_cleaners,
+    "japanese_cleaners_revised": japanese_cleaners_revised,
     "openjtalk_cleaner": openjtalk_cleaner,
 }
 

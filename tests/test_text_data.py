@@ -354,3 +354,53 @@ def test_jp_reference_compat_tokenization():
     # the reference glues the pause marker to the next consonant ('spk'),
     # which the space-split ID mapping then drops
     assert ref.split(" ") == ["k", "a", "k", "i", "spk", "u", "k", "e"]
+
+
+def test_jp_reference_compat_drops_wo():
+    """ヲ exists only in the reference symbols.py table; its runtime
+    mora2phoneme table lacks it, so compat mode must leave ヲ untouched
+    (the glued token is then dropped at ID mapping, exactly like the
+    reference) while the fixed mode maps it to 'o'."""
+    from mb_istft_vits_tpu.text.jp import cleaned_text_to_sequence, mora2phoneme
+
+    assert mora2phoneme("ホンヲヨム") == "h o N o y o m u"
+    ref = mora2phoneme("ホンヲヨム", reference_compat=True)
+    assert "ヲ" in ref  # survives as a glued token...
+    ids_ref = cleaned_text_to_sequence(ref)
+    ids_fixed = cleaned_text_to_sequence(mora2phoneme("ホンヲヨム"))
+    # ...and the glued 'ヲy' token is dropped at ID mapping, losing BOTH
+    # the ヲ vowel and the following consonant (reference behavior)
+    assert len(ids_fixed) == 8 and len(ids_ref) == 6
+
+
+def test_jp_cleaners_revised_raw_text(monkeypatch):
+    """The serving pipeline's raw-Japanese cleaner (reference
+    synthesis_module.py:34-64): placeholder/punctuation splitting,
+    kana conversion via pyopenjtalk (faked here), ヲ→オ, sp pauses."""
+    import sys
+    import types
+
+    fake = types.ModuleType("pyopenjtalk")
+    KANA = {"本": "ホン", "を": "ヲ", "読む": "ヨム", "こんにちは": "コンニチハ"}
+
+    def g2p(text, kana=False):
+        assert kana is True
+        out = "".join(KANA.get(ch, "") for ch in text) or \
+            "".join(KANA.get(text, text))
+        return KANA.get(text, out)
+
+    fake.g2p = g2p
+    monkeypatch.setitem(sys.modules, "pyopenjtalk", fake)
+
+    from mb_istft_vits_tpu.text.jp import japanese_cleaners_revised
+
+    # punctuation becomes a separated sp pause; kanji goes through kana
+    out = japanese_cleaners_revised("こんにちは、本")
+    assert out == "k o N n i t i h a sp h o N"
+    # ヲ→オ before the mora tables (mirrors the reference cleaner)
+    assert japanese_cleaners_revised("を") == "o"
+    # placeholders survive as bracketed/explicit tokens
+    assert japanese_cleaners_revised("{cough}こんにちは") == \
+        "<cough> k o N n i t i h a"
+    out = japanese_cleaners_revised("[こんにちは]")
+    assert out.startswith("[ ") and out.endswith(" ]")
