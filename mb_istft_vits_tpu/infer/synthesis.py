@@ -229,8 +229,17 @@ class SynthesisModule:
                     ) -> np.ndarray:
         cfg = self.data_cfg
         cleaned = cfg.cleaned_text if cleaned is None else cleaned
+        cleaners = cfg.text_cleaners
+        if not cleaned and cfg.text_module == "text_JP":
+            # RAW Japanese at the serving surface goes through the
+            # reference serving module's own cleaner (raw kanji/kana ->
+            # kana -> mora tables; synthesis_module.py:34-74), NOT the
+            # config's training cleaners — `japanese_cleaners` only maps
+            # pre-katakana-ized input and would emit an empty sequence
+            # for plain text
+            cleaners = ["japanese_cleaners_revised"]
         return np.asarray(
-            frontend_ids(text, cfg.text_module, cfg.text_cleaners,
+            frontend_ids(text, cfg.text_module, cleaners,
                          cfg.add_blank, cleaned),
             np.int32,
         )

@@ -450,3 +450,22 @@ def test_warmup_precompiles(module):
     assert timings["frame_bucket"] == 64
     assert fn._cache_size() == n0
     assert len(audio) > 0 and np.all(np.isfinite(audio))
+
+
+def test_raw_japanese_text_routes_through_serving_cleaner(module,
+                                                          monkeypatch):
+    """SynthesisModule.text_to_ids(cleaned=False) on a text_JP config
+    uses the reference serving module's raw-text cleaner (kana
+    conversion + mora tables), not the config's training cleaners —
+    which cannot tokenize raw Japanese at all."""
+    import sys
+    import types
+
+    fake = types.ModuleType("pyopenjtalk")
+    fake.g2p = lambda text, kana=False: "コンニチハ"
+    monkeypatch.setitem(sys.modules, "pyopenjtalk", fake)
+
+    ids_raw = module.text_to_ids("こんにちは", cleaned=False)
+    ids_cleaned = module.text_to_ids("k o N n i t i h a", cleaned=True)
+    assert len(ids_raw) > 0
+    assert np.array_equal(ids_raw, ids_cleaned)
