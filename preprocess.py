@@ -21,7 +21,10 @@ def main():
     mod = get_module(args.text_module)
     for filelist in args.filelists:
         print("START:", filelist)
-        rows = load_filepaths_and_text(filelist)
+        # min_cols: a stray under-columned row must be dropped by the
+        # hardened loader, not crash at row[text_index] mid-run
+        rows = load_filepaths_and_text(filelist,
+                                       min_cols=args.text_index + 1)
         for row in rows:
             original = row[args.text_index]
             row[args.text_index] = mod._clean_text(original,

@@ -36,7 +36,12 @@ def load_wav_mono(path: str):
     y, sr = load_wav(path)
     if y.ndim > 1:
         y = y.mean(axis=-1)
-    return y / 32768.0, sr
+    # load_wav returns int16-range values for PCM16 but [-1, 1] for
+    # IEEE-float wavs — dividing unconditionally would mis-scale float
+    # files by ~32768x and poison every magnitude panel
+    if np.abs(y).max() > 1.0 + 1e-6:
+        y = y / 32768.0
+    return y, sr
 
 
 def stft_complex(y: np.ndarray, n_fft: int, hop: int):

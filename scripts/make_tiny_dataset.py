@@ -13,6 +13,8 @@ import sys
 import numpy as np
 from scipy.io.wavfile import write
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def make(outdir: str = "/tmp/verify_e2e", fp16_run: bool = True) -> str:
     os.makedirs(outdir, exist_ok=True)
@@ -26,7 +28,9 @@ def make(outdir: str = "/tmp/verify_e2e", fp16_run: bool = True) -> str:
         t = np.arange(n) / 8000.0
         sig = 0.3 * np.sin(2 * np.pi * (150 + 20 * i) * t) \
             + 0.05 * rng.randn(n)
-        pcm = (np.clip(sig, -1, 1) * 32767).astype(np.int16)
+        from mb_istft_vits_tpu.utils.audio import float_to_int16
+
+        pcm = float_to_int16(sig)
         p = os.path.join(outdir, f"utt{i}.wav")
         write(p, 8000, pcm)
         rows.append(f"{p}|{texts[i]}")
