@@ -45,7 +45,19 @@ def main() -> None:
     # mean over (2 rows of 1.0) + (2 rows of 2.0) — wrong (1.0 or 2.0)
     # if a host only saw its own data
     assert abs(got - 1.5) < 1e-6, got
-    print(f"proc {pid}: ok global_mean={got}", flush=True)
+
+    # train.py's preemption agreement: SIGTERM lands on ONE host (here:
+    # rank 1); the flag allgather must make BOTH hosts decide to
+    # checkpoint at the same step (mismatched collective entry would
+    # deadlock a real run)
+    from jax.experimental import multihost_utils
+
+    local_flag = np.asarray(pid == 1, np.int32)
+    flags = multihost_utils.process_allgather(local_flag)
+    agreed = bool(np.max(flags))
+    assert agreed, (pid, flags)
+    print(f"proc {pid}: ok global_mean={got} preempt_agreed={agreed}",
+          flush=True)
 
 
 if __name__ == "__main__":
