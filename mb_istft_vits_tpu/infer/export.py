@@ -52,10 +52,13 @@ def _unflatten_params(flat: Dict[str, np.ndarray]):
     return unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
 
 
-def _scalar(v) -> np.float32:
-    """Exported programs are traced with non-weak f32 scalars so the
-    call-time avals match exactly."""
-    return np.float32(v)
+def _scalar(v) -> float:
+    """Plain Python float = WEAK-typed f32 scalar, at export and call
+    time alike. Weak typing matters: live serving passes Python floats,
+    and under compute_dtype=bf16 a weak scalar keeps `x * scale` in
+    bf16 while a strong np.float32 would promote the whole tail to f32
+    — diverging artifact numerics from the live module."""
+    return float(v)
 
 
 def export_serving(
@@ -142,6 +145,13 @@ def export_serving(
     param_dtypes = {k: str(v.dtype) for k, v in flat.items()}
 
     d = module.data_cfg
+    # the EFFECTIVE raw-text cleaners, mirroring SynthesisModule
+    # .text_to_ids: raw Japanese goes through the serving cleaner, not
+    # the config's training cleaners (which can't tokenize plain text) —
+    # recorded at export time so the artifact tokenizes identically
+    serving_cleaners = (["japanese_cleaners_revised"]
+                        if d.text_module == "text_JP"
+                        else list(d.text_cleaners))
     manifest = {
         "format": _FORMAT,
         "jax_version": jax.__version__,
@@ -154,7 +164,8 @@ def export_serving(
         "n_speakers": module.cfg.n_speakers,
         "frontend": {
             "text_module": d.text_module,
-            "text_cleaners": d.text_cleaners,
+            "text_cleaners": list(d.text_cleaners),
+            "serving_cleaners": serving_cleaners,
             "add_blank": d.add_blank,
             "cleaned_text": d.cleaned_text,
         },
@@ -168,7 +179,8 @@ class ExportedServing:
     """Serve from an `export_serving` artifact: text -> waveform using
     only the serialized programs + params (model code never runs)."""
 
-    def __init__(self, artifact_dir: str):
+    def __init__(self, artifact_dir: str, seed: int = 0):
+        self._rng = jax.random.PRNGKey(seed)
         with open(os.path.join(artifact_dir, "manifest.json")) as fh:
             self.manifest = json.load(fh)
         if self.manifest["format"] != _FORMAT:
@@ -200,13 +212,18 @@ class ExportedServing:
                 self._infer[(tb, fb)] = jax.export.deserialize(fh.read())
 
     # -- frontend (the SAME host-side path as SynthesisModule) ----------
-    def text_to_ids(self, text: str) -> np.ndarray:
+    def text_to_ids(self, text: str,
+                    cleaned: Optional[bool] = None) -> np.ndarray:
         from mb_istft_vits_tpu.text import frontend_ids
 
         fe = self.manifest["frontend"]
+        cleaned = fe["cleaned_text"] if cleaned is None else cleaned
+        # raw text uses the SERVING cleaners recorded at export time
+        # (mirrors SynthesisModule.text_to_ids's raw-Japanese override)
+        cleaners = fe.get("serving_cleaners", fe["text_cleaners"])
         return np.asarray(
-            frontend_ids(text, fe["text_module"], fe["text_cleaners"],
-                         fe["add_blank"], fe["cleaned_text"]),
+            frontend_ids(text, fe["text_module"], cleaners,
+                         fe["add_blank"], cleaned),
             np.int32,
         )
 
@@ -223,16 +240,24 @@ class ExportedServing:
 
     def synthesize(self, text: str, sid: Optional[int] = None,
                    noise_scale: float = 0.667, length_scale: float = 1.0,
-                   noise_scale_w: float = 0.8, seed: int = 0):
+                   noise_scale_w: float = 0.8, seed: Optional[int] = None,
+                   cleaned: Optional[bool] = None):
         t0 = time.perf_counter()
-        ids = self.text_to_ids(text)
+        ids = self.text_to_ids(text, cleaned)
         tb, fbs = self._buckets_for(len(ids))
         x = np.zeros((1, tb), np.int32)
         x[0, : len(ids)] = ids
         xl = np.asarray([len(ids)], np.int32)
         sid_arr = (np.asarray([0 if sid is None else int(sid)], np.int32)
                    if self.manifest["n_speakers"] > 0 else None)
-        rng = jax.random.PRNGKey(seed)
+        # rolling rng like the live module's _next_rng: a fixed default
+        # seed would draw identical noise for every request (same
+        # prosody sample, byte-identical repeats); explicit seeds stay
+        # deterministic
+        if seed is not None:
+            rng = jax.random.PRNGKey(seed)
+        else:
+            self._rng, rng = jax.random.split(self._rng)
         frames = int(np.asarray(self._probe[tb].call(
             self.params, x, xl, sid_arr, _scalar(length_scale),
             _scalar(noise_scale_w), rng))[0])

@@ -261,22 +261,32 @@ class Synthesizer(nn.Module):
     # ------------------------------------------------------------------
     # inference (reference models.py:697-737)
     # ------------------------------------------------------------------
-    def _infer_latents(self, x, x_lengths, sid, noise_scale, length_scale,
-                       noise_scale_w, max_frames):
+    def _duration_head(self, x, x_lengths, sid, length_scale,
+                       noise_scale_w):
+        """Text encoder + duration predictor + ceil — the ONE definition
+        of predicted durations. The serving frame-bucket probe
+        (predict_frames) and the real decode (_infer_latents) must agree
+        EXACTLY (same rng stream, same arithmetic) or the probe picks
+        buckets the decode then over/under-fills."""
         hx, m_p, logs_p, x_mask = self.enc_p(x, x_lengths, train=False)
         g = self._speaker(sid)
-
         if self.cfg.use_sdp:
             logw = self.dp(hx, x_mask, g=g, reverse=True,
                            noise_scale=noise_scale_w,
                            noise_rng=self.make_rng("noise"))
         else:
             logw = self.dp(hx, x_mask, g=g)
-        w = jnp.exp(logw) * x_mask * length_scale
-        w_ceil = jnp.ceil(w)
+        w_ceil = jnp.ceil(jnp.exp(logw) * x_mask * length_scale)
         y_lengths = jnp.maximum(
             jnp.sum(w_ceil, axis=(1, 2)), 1.0
         ).astype(jnp.int32)
+        return hx, m_p, logs_p, x_mask, g, w_ceil, y_lengths
+
+    def _infer_latents(self, x, x_lengths, sid, noise_scale, length_scale,
+                       noise_scale_w, max_frames):
+        (hx, m_p, logs_p, x_mask, g, w_ceil,
+         y_lengths) = self._duration_head(x, x_lengths, sid, length_scale,
+                                          noise_scale_w)
         y_lengths = jnp.minimum(y_lengths, max_frames)
         y_mask = sequence_mask(y_lengths, max_frames)[..., None].astype(
             x_mask.dtype
@@ -302,19 +312,11 @@ class Synthesizer(nn.Module):
     ) -> jnp.ndarray:
         """Cheap duration probe: total predicted frames per utterance
         (text encoder + duration predictor only). Lets the serving layer
-        pick the exact output-frame bucket before the expensive decode."""
-        hx, m_p, logs_p, x_mask = self.enc_p(x, x_lengths, train=False)
-        g = self._speaker(sid)
-        if self.cfg.use_sdp:
-            logw = self.dp(hx, x_mask, g=g, reverse=True,
-                           noise_scale=noise_scale_w,
-                           noise_rng=self.make_rng("noise"))
-        else:
-            logw = self.dp(hx, x_mask, g=g)
-        w_ceil = jnp.ceil(jnp.exp(logw) * x_mask * length_scale)
-        return jnp.maximum(jnp.sum(w_ceil, axis=(1, 2)), 1.0).astype(
-            jnp.int32
-        )
+        pick the exact output-frame bucket before the expensive decode.
+        Shares _duration_head with _infer_latents so probe and decode
+        can never disagree."""
+        return self._duration_head(x, x_lengths, sid, length_scale,
+                                   noise_scale_w)[-1]
 
     def infer(
         self,

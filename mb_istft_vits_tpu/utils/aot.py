@@ -117,15 +117,32 @@ class _AotEntry:
                 self._cache.cache_dir, f"{self._name}-{key}.aotx"
             )
             if os.path.exists(path):
-                with open(path, "rb") as fh:
-                    payload, in_tree, out_tree = pickle.load(fh)
-                from jax.experimental import serialize_executable as se
+                try:
+                    with open(path, "rb") as fh:
+                        payload, in_tree, out_tree = pickle.load(fh)
+                    from jax.experimental import serialize_executable as se
 
-                compiled = se.deserialize_and_load(payload, in_tree,
-                                                   out_tree)
-                self.source = "loaded"
-                logger.info("aot: loaded %s from %s", self._name, path)
-                return compiled
+                    compiled = se.deserialize_and_load(payload, in_tree,
+                                                       out_tree)
+                    self.source = "loaded"
+                    logger.info("aot: loaded %s from %s", self._name, path)
+                    return compiled
+                except Exception:
+                    # unreadable/undeserializable payload (corruption, or
+                    # a backend where serialize worked but deserialize
+                    # doesn't): DELETE it and recompile over it — leaving
+                    # it in place would re-fail every later launch,
+                    # permanently re-paying the cold compile this cache
+                    # exists to remove
+                    logger.warning(
+                        "aot: stored executable for %s unreadable; "
+                        "deleting %s and recompiling", self._name, path,
+                        exc_info=True,
+                    )
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
             compiled = lowered.compile()
             self.source = "compiled"
             try:

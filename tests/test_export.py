@@ -40,6 +40,10 @@ WORKER = textwrap.dedent("""
                        and np.array_equal(audio, ref)))
     audio2, _ = s.synthesize(text, seed=7)
     print("deterministic", int(np.array_equal(audio, audio2)))
+    # default (no seed): rolling rng — two requests draw different noise
+    r1, _ = s.synthesize(text)
+    r2, _ = s.synthesize(text)
+    print("rolling", int(len(r1) != len(r2) or not np.array_equal(r1, r2)))
     # frames beyond every exported bucket must REFUSE, not silently
     # truncate (the live module grows its bucket; an artifact can't)
     try:
@@ -63,6 +67,7 @@ def test_export_round_trip(tmp_path):
     assert r["deterministic"] == ["1"]
     assert r["n_pairs"] == ["2"]
     assert r["overflow"] == ["raised"]
+    assert r["rolling"] == ["1"]
     names = sorted(os.listdir(art))
     assert "manifest.json" in names and "params.npz" in names
     assert any(n.startswith("infer_t") for n in names)
