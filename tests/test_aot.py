@@ -57,6 +57,33 @@ def test_aot_round_trip_single_device(tmp_path):
     assert len(os.listdir(cache_dir)) == 3  # nothing re-stored
 
 
+def test_aot_concurrent_processes(tmp_path):
+    """Two processes cold-starting against one cache dir must both
+    succeed and leave a loadable cache (stores are atomic: mkstemp +
+    os.replace — a torn write would poison every later launch)."""
+    import subprocess
+    import sys
+
+    from tests.subproc import REPO, _env
+
+    cache_dir = str(tmp_path / "aot")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", GENERIC_WORKER, cache_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_env(), cwd=REPO,
+        )
+        for _ in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=1200)
+        assert p.returncode == 0, err[-3000:]
+        assert "f_source compiled" in out or "f_source loaded" in out
+    # a third launch must load everything the racers stored
+    r = _run(GENERIC_WORKER, cache_dir)
+    assert r["f_source"] == ["loaded"] and r["g_source"] == ["loaded"]
+
+
 COMMIT_WORKER = textwrap.dedent("""
     import os, sys
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
