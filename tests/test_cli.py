@@ -77,3 +77,24 @@ def test_run_voice_conversion_cli(tmp_path):
     # VC preserves duration up to STFT framing (spec frames * hop)
     assert abs(len(conv) - len(pcm)) <= cfg_dict["data"]["filter_length"]
     assert np.any(conv != 0)
+
+
+def test_run_batch_synthesis_cli(tmp_path):
+    cfg = tmp_path / "tiny.json"
+    cfg.write_text(json.dumps(TINY_CONFIG))
+    filelist = tmp_path / "batch.txt"
+    filelist.write_text(
+        "uttA|k o N n i t i w a\n"
+        "uttB|a i u e o\n"
+        "uttA|s a y o: n a r a\n"  # duplicate name: must be uniquified
+    )
+    out_dir = tmp_path / "out"
+    r = _run_cli("run_batch_synthesis.py",
+                 ["-c", str(cfg), "-f", str(filelist),
+                  "-o", str(out_dir), "--batch", "4"], cwd=str(tmp_path))
+    wavs = sorted(p.name for p in out_dir.glob("*.wav"))
+    assert len(wavs) == 3, (wavs, r.stdout)
+    assert "uttA.wav" in wavs and "uttB.wav" in wavs
+    for p in out_dir.glob("*.wav"):
+        pcm, sr = _read_wav(p)
+        assert sr == TINY_CONFIG["data"]["sampling_rate"] and len(pcm) > 0
