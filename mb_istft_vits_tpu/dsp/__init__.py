@@ -18,3 +18,9 @@ from mb_istft_vits_tpu.dsp.mel import (  # noqa: F401
     mel_spectrogram,
     spectral_normalize,
 )
+from mb_istft_vits_tpu.dsp.resample import (  # noqa: F401
+    PolyphaseStreamResampler,
+    design_resample_filter,
+    resample_poly,
+    resample_poly_jax,
+)

@@ -96,6 +96,7 @@ class IncrementalTTS:
         chunk_ms: int = 20,
         send_interval_ms: int = 20,
         base64_encode: bool = True,
+        resample_quality: str = "fast",
     ):
         self.module = synthesis_module
         self.on_chunk = on_chunk
@@ -104,6 +105,11 @@ class IncrementalTTS:
         self.chunk_samples = int(self.sr_out * chunk_ms / 1000)
         self.send_interval = send_interval_ms / 1000.0
         self.base64_encode = base64_encode
+        # "fast"/"best": windowed-sinc polyphase (librosa.resample-quality,
+        # the reference's tts_vits.py:182-185 path); "linear": first-order
+        if resample_quality not in ("linear", "fast", "best"):
+            raise ValueError(f"unknown resample_quality {resample_quality!r}")
+        self.resample_quality = resample_quality
 
         self._text_q: "queue.Queue[Optional[TTSRequest]]" = queue.Queue()
         self._audio_q: "queue.Queue[tuple]" = queue.Queue()
@@ -174,13 +180,27 @@ class IncrementalTTS:
                     length_scale=req.length_scale,
                     noise_scale_w=req.noise_scale_w, cleaned=req.cleaned,
                 )
-                resample = StreamResampler(self.sr_in, self.sr_out)
+                if self.resample_quality == "linear":
+                    resample = StreamResampler(self.sr_in, self.sr_out)
+                else:
+                    from mb_istft_vits_tpu.dsp.resample import (
+                        PolyphaseStreamResampler,
+                    )
+
+                    resample = PolyphaseStreamResampler(
+                        self.sr_in, self.sr_out, self.resample_quality)
+                revoked_mid = False
                 for wav in self.module.stream_from_latents(z, sid=sid):
                     if self._is_revoked(req.utterance_id):
+                        revoked_mid = True
                         break
                     if len(wav) == 0:
                         continue
                     audio = resample(wav)
+                    if len(audio):
+                        self._audio_q.put((req.utterance_id, audio))
+                if not revoked_mid and hasattr(resample, "flush"):
+                    audio = resample.flush()
                     if len(audio):
                         self._audio_q.put((req.utterance_id, audio))
             except Exception as e:  # keep the service alive: one bad

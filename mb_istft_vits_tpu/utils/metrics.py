@@ -2,7 +2,11 @@
 
 Mel-cepstral distortion (MCD) is the repo's fidelity north-star
 (BASELINE.md: MCD < 0.5 dB vs the PyTorch reference); the reference itself
-ships no metric code (SURVEY.md §4), so this fills that gap.
+ships no metric code (SURVEY.md §4), so this fills that gap. Alongside MCD
+this module provides the other standard TTS objective measures: YIN F0
+extraction with the derived pitch metrics (F0 RMSE, gross pitch error,
+voicing decision error) and log-spectral distance. All are host-side numpy
+(they run on decoded waveforms during evaluation, not in the train step).
 """
 
 from __future__ import annotations
@@ -66,3 +70,145 @@ def mel_cepstral_distortion(
     diff = ca[:, start:] - cb[:, start:]
     per_frame = np.sqrt(2.0 * np.sum(diff**2, axis=1))
     return float((10.0 / np.log(10.0)) * np.mean(per_frame))
+
+
+def yin_f0(
+    wav: np.ndarray,
+    sampling_rate: int,
+    fmin: float = 65.0,
+    fmax: float = 1046.0,
+    frame_length: int = 2048,
+    hop_length: int = 256,
+    threshold: float = 0.15,
+) -> tuple:
+    """YIN pitch tracker (de Cheveigné & Kawahara 2002).
+
+    Returns ``(f0, voiced)``: per-frame F0 in Hz (0 where unvoiced) and a
+    boolean voicing decision. Vectorized over frames; the integration
+    window is ``frame_length - tau_max`` samples.
+    """
+    x = np.asarray(wav, np.float64)
+    tau_min = max(int(sampling_rate / fmax), 1)
+    tau_max = int(np.ceil(sampling_rate / fmin))
+    if frame_length <= tau_max + 8:
+        raise ValueError(
+            f"frame_length {frame_length} too short for fmin {fmin} "
+            f"(needs > tau_max {tau_max} + 8)")
+    n_frames = max(1 + (len(x) - frame_length) // hop_length, 0)
+    if n_frames == 0:
+        return np.zeros(0), np.zeros(0, bool)
+    idx = (np.arange(frame_length)[None, :]
+           + hop_length * np.arange(n_frames)[:, None])
+    frames = x[idx]  # [F, W]
+    W2 = frame_length - tau_max  # fixed integration window
+    base = frames[:, :W2]
+    # difference function d[f, tau], tau in 0..tau_max
+    d = np.empty((n_frames, tau_max + 1))
+    d[:, 0] = 0.0
+    for tau in range(1, tau_max + 1):
+        diff = base - frames[:, tau : tau + W2]
+        d[:, tau] = np.einsum("ij,ij->i", diff, diff)
+    # cumulative-mean-normalized difference d'
+    cum = np.cumsum(d[:, 1:], axis=1)
+    dn = np.ones_like(d)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dn[:, 1:] = d[:, 1:] * np.arange(1, tau_max + 1) / np.maximum(
+            cum, 1e-12)
+    dn[:, :tau_min] = np.inf
+    # first tau under threshold, else global argmin (per YIN step 4)
+    under = dn < threshold
+    first = np.argmax(under, axis=1)
+    has_under = under.any(axis=1)
+    fallback = np.argmin(dn, axis=1)
+    tau_star = np.where(has_under, first, fallback)
+    # march first-under forward to the local minimum of its dip
+    for _ in range(tau_max):
+        nxt = np.clip(tau_star + 1, 0, tau_max)
+        better = has_under & (dn[np.arange(n_frames), nxt]
+                              < dn[np.arange(n_frames), tau_star])
+        if not better.any():
+            break
+        tau_star = np.where(better, nxt, tau_star)
+    # parabolic interpolation around tau_star
+    t = tau_star.astype(np.float64)
+    ok = (tau_star > tau_min) & (tau_star < tau_max)
+    f_idx = np.arange(n_frames)
+    y0 = dn[f_idx, np.clip(tau_star - 1, 0, tau_max)]
+    y1 = dn[f_idx, tau_star]
+    y2 = dn[f_idx, np.clip(tau_star + 1, 0, tau_max)]
+    denom = y0 - 2 * y1 + y2
+    denom_safe = np.where(np.abs(denom) > 1e-12, denom, 1.0)
+    with np.errstate(invalid="ignore"):  # inf neighbors near tau_min
+        shift = np.where(ok & (np.abs(denom) > 1e-12),
+                         0.5 * (y0 - y2) / denom_safe, 0.0)
+    shift = np.clip(np.nan_to_num(shift), -0.5, 0.5)
+    t = t + np.where(ok, shift, 0.0)
+    voiced = has_under | (dn[f_idx, tau_star] < 2 * threshold)
+    # silent frames are unvoiced regardless of the normalized dip
+    energy = np.einsum("ij,ij->i", base, base) / W2
+    voiced &= energy > 1e-8
+    f0 = np.where(voiced, sampling_rate / np.maximum(t, 1e-9), 0.0)
+    return f0, voiced
+
+
+def f0_metrics(
+    wav_a: np.ndarray,
+    wav_b: np.ndarray,
+    sampling_rate: int,
+    gross_threshold: float = 0.2,
+    **yin_kwargs,
+) -> dict:
+    """Standard pitch-accuracy metrics between two aligned waveforms.
+
+    - ``f0_rmse_hz`` / ``f0_rmse_cents``: RMSE over frames voiced in both
+    - ``gross_pitch_error``: fraction of both-voiced frames deviating more
+      than ``gross_threshold`` (20%) in F0
+    - ``voicing_decision_error``: fraction of frames whose voiced flags
+      disagree
+    """
+    n = min(len(wav_a), len(wav_b))
+    fa, va = yin_f0(np.asarray(wav_a)[:n], sampling_rate, **yin_kwargs)
+    fb, vb = yin_f0(np.asarray(wav_b)[:n], sampling_rate, **yin_kwargs)
+    both = va & vb
+    out = {
+        "voicing_decision_error": float(np.mean(va != vb)) if len(va) else 0.0,
+        "n_frames": int(len(va)),
+        "n_both_voiced": int(both.sum()),
+    }
+    if both.any():
+        da = fa[both]
+        db = fb[both]
+        out["f0_rmse_hz"] = float(np.sqrt(np.mean((da - db) ** 2)))
+        cents = 1200.0 * np.log2(np.maximum(da, 1e-9) / np.maximum(db, 1e-9))
+        out["f0_rmse_cents"] = float(np.sqrt(np.mean(cents**2)))
+        out["gross_pitch_error"] = float(
+            np.mean(np.abs(da - db) > gross_threshold * np.abs(db)))
+    else:
+        out["f0_rmse_hz"] = out["f0_rmse_cents"] = 0.0
+        out["gross_pitch_error"] = 0.0
+    return out
+
+
+def log_spectral_distance(
+    wav_a: np.ndarray,
+    wav_b: np.ndarray,
+    sampling_rate: int,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+) -> float:
+    """Mean log-spectral distance in dB: per frame
+    sqrt(mean_k (10 log10 Pa/Pb)^2), averaged over frames."""
+    import jax.numpy as jnp
+
+    from mb_istft_vits_tpu.dsp.stft import stft_magnitude
+
+    n = min(len(wav_a), len(wav_b))
+    mags = []
+    for w in (wav_a[:n], wav_b[:n]):
+        m = np.asarray(stft_magnitude(
+            jnp.asarray(np.asarray(w, np.float32)[None]),
+            n_fft, hop_length, win_length))[0]
+        mags.append(np.maximum(m.astype(np.float64) ** 2, 1e-20))
+    la, lb = (10.0 * np.log10(m) for m in mags)
+    return float(np.mean(np.sqrt(np.mean((la - lb) ** 2, axis=0))))

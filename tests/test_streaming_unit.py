@@ -89,3 +89,40 @@ def test_revoked_id_released_at_completion():
     engine.submit(TTSRequest(text="x", utterance_id="u"))  # recycled id
     assert _wait(lambda: "u" in got), "recycled id stayed muted"
     engine.stop()
+
+
+def test_polyphase_resample_path_total_length():
+    """resample_quality='fast' routes through the polyphase stream
+    resampler and flushes the filter tail: total emitted samples match
+    the offline windowed-sinc resample of the full utterance."""
+    import threading
+
+    from mb_istft_vits_tpu.dsp.resample import resample_poly
+
+    got = []
+    done = threading.Event()
+
+    def on_chunk(uid, payload):
+        got.append(np.frombuffer(payload, np.int16))
+
+    engine = IncrementalTTS(FakeModule(), on_chunk, out_sample_rate=16000,
+                            send_interval_ms=0, base64_encode=False,
+                            resample_quality="fast")
+    engine.start()
+    engine.submit(TTSRequest(text="x", utterance_id="u"))
+    full = 0.1 * np.ones(8000, np.float32)  # FakeModule's 4x2000 decode
+    want = resample_poly(full, 8000, 16000, "fast")
+    assert _wait(lambda: sum(len(g) for g in got) >= len(want))
+    engine.stop()
+    y = np.concatenate(got).astype(np.float32) / 32767.0
+    assert len(y) == len(want)
+    # mid-utterance samples sit at the constant 0.1 (sinc ripple < 1e-3)
+    assert np.abs(y[2000:-2000] - 0.1).max() < 2e-3
+
+
+def test_resample_quality_validated():
+    import pytest
+
+    with pytest.raises(ValueError):
+        IncrementalTTS(FakeModule(), lambda *a: None,
+                       resample_quality="bogus")
