@@ -374,6 +374,23 @@ class Synthesizer(nn.Module):
         the join cannot diverge from the forward pass."""
         return self.dec.spec_tail(spec, phase)
 
+    def reconstruct(
+        self,
+        y: jnp.ndarray,
+        y_lengths: jnp.ndarray,
+        sid: Optional[jnp.ndarray] = None,
+    ):
+        """Copy-synthesis: posterior-encode the ground-truth spectrogram
+        and decode z back to a waveform. Output is time-aligned with the
+        input utterance, so objective fidelity metrics (MCD / F0 / LSD
+        vs ground truth) are well-defined — unlike `infer`, whose
+        predicted durations de-align it from the reference audio."""
+        g = self._speaker(sid)
+        z, _, _, y_mask = self.enc_q(y, y_lengths, g=g,
+                                     noise_rng=self.make_rng("noise"))
+        o, _, _, _ = self.dec(z * y_mask, g=g)
+        return o, y_mask
+
     def voice_conversion(
         self,
         y: jnp.ndarray,

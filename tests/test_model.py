@@ -210,3 +210,26 @@ def test_fake_slice_matches_full_forward(rng):
     )
     np.testing.assert_array_equal(np.asarray(ids_full), np.asarray(ids_fake))
     np.testing.assert_array_equal(np.asarray(o_full), np.asarray(o_fake))
+
+
+def test_reconstruct_copy_synthesis(rng):
+    """reconstruct = enc_q -> dec: output is time-aligned with the input
+    spectrogram (upsample-factor x T_spec samples) and deterministic
+    under a fixed noise rng."""
+    cfg = tiny_cfg(mb_istft_vits=True)
+    batch = make_batch(rng)
+    model, variables = init_model(cfg, batch)
+    _, _, y, y_lengths = batch
+    kw = dict(method=Synthesizer.reconstruct,
+              rngs={"noise": jax.random.PRNGKey(7)})
+    o, y_mask = model.apply(variables, y, y_lengths, **kw)
+    up = (int(np.prod(cfg.upsample_rates)) * cfg.gen_istft_hop_size
+          * cfg.subbands)  # MB decoder: per-band iSTFT then PQMF interleave
+    assert o.shape == (y.shape[0], y.shape[1] * up, 1)
+    assert np.all(np.isfinite(np.asarray(o)))
+    o2, _ = model.apply(variables, y, y_lengths, **kw)
+    np.testing.assert_array_equal(np.asarray(o), np.asarray(o2))
+    # masked frames beyond y_lengths decode from z=0 latents: the tail
+    # past the valid region must carry (near-)silence, not content
+    assert np.abs(np.asarray(o)[1, (y.shape[1] - 2) * up:, 0]).mean() < \
+        np.abs(np.asarray(o)[1, : int(y_lengths[1]) * up, 0]).mean() * 2

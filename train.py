@@ -122,8 +122,56 @@ def evaluate(cfg, synth, state, writer, global_step, logger, eval_ds):
             np.asarray(out.attn[0, : int(out.y_lengths[0])])
         )
     }
-    summarize(writer, global_step, images=images, audios=audio_dict,
+    # Copy-synthesis fidelity: posterior-encode the GT spectrogram and
+    # decode — time-aligned with GT, so MCD/F0/LSD are well-defined
+    # objective regression signals (the reference logs audio only,
+    # SURVEY.md §4 — this is the gap-fill).
+    scalars = {}
+    try:
+        from mb_istft_vits_tpu.dsp import spectrogram
+        from mb_istft_vits_tpu.utils.metrics import (
+            f0_metrics, log_spectral_distance, mel_cepstral_distortion)
+
+        gt = np.asarray(item["wav"], np.float32).reshape(-1)
+        spec = spectrogram(
+            jnp.asarray(gt[None]), cfg.data.filter_length,
+            cfg.data.hop_length, cfg.data.win_length,
+        ).transpose(0, 2, 1)  # [1, F, bins]
+        sid0 = (jnp.asarray([0], jnp.int32)
+                if cfg.data.n_speakers > 1 else None)
+        recon, _ = synth.apply(
+            {"params": state.params_g}, spec,
+            jnp.asarray([spec.shape[1]], jnp.int32), sid=sid0,
+            method=Synthesizer.reconstruct,
+            rngs={"noise": jax.random.PRNGKey(global_step)},
+        )
+        recon = np.asarray(recon[0, :, 0], np.float32)
+        sr = cfg.data.sampling_rate
+        scalars["eval/mcd_copy_synthesis"] = mel_cepstral_distortion(
+            gt, recon, sr, n_fft=cfg.data.filter_length,
+            hop_length=cfg.data.hop_length,
+            win_length=cfg.data.win_length,
+            n_mels=min(cfg.data.n_mel_channels,
+                       cfg.data.filter_length // 2 + 1))
+        scalars["eval/lsd_copy_synthesis"] = log_spectral_distance(
+            gt, recon, sr, n_fft=cfg.data.filter_length,
+            hop_length=cfg.data.hop_length,
+            win_length=cfg.data.win_length)
+        if len(gt) >= 4096:
+            f0m = f0_metrics(gt, recon, sr)
+            scalars["eval/f0_rmse_hz"] = f0m["f0_rmse_hz"]
+            scalars["eval/voicing_decision_error"] = (
+                f0m["voicing_decision_error"])
+        audio_dict["gen/audio_copy_synthesis"] = recon[: len(gt)]
+    except Exception:
+        logger.exception("eval: copy-synthesis metrics failed")
+    summarize(writer, global_step, scalars=scalars, images=images,
+              audios=audio_dict,
               audio_sampling_rate=cfg.data.sampling_rate)
+    if scalars:
+        logger.info(
+            "eval: %s", "  ".join(f"{k.split('/')[-1]}={v:.3f}"
+                                  for k, v in scalars.items()))
     logger.info("eval: wrote %d audio clips", len(audio_dict))
 
 
