@@ -179,7 +179,7 @@ class SynthesisModule:
             return jitted
         return self._aot.wrap(name, jitted)
 
-    def _build_infer(self, max_frames: int):
+    def _build_infer(self, max_frames: int, out_sr: Optional[int] = None):
         def fn(params, x, x_lengths, sid, noise_scale, length_scale,
                noise_scale_w, rng):
             out = self.model.apply(
@@ -188,14 +188,24 @@ class SynthesisModule:
                 noise_scale_w=noise_scale_w, max_frames=max_frames,
                 method=Synthesizer.infer, rngs={"noise": rng},
             )
+            o = out.o
+            if out_sr is not None and out_sr != self.sampling_rate:
+                # output-rate conversion inside the same program (one
+                # strided/dilated conv — no extra dispatch, and the D2H
+                # transfer shrinks with the rate for downsampling)
+                from mb_istft_vits_tpu.dsp.resample import resample_poly_jax
+
+                o = resample_poly_jax(o, self.sampling_rate, out_sr)
             # quantize to 16-bit PCM on-device: the D2H transfer (which
             # rides a network tunnel on some runtimes) carries 4x fewer
             # bytes than f32, and 16-bit is the wav container format anyway
-            pcm = jnp.clip(out.o[..., 0].astype(jnp.float32), -1.0, 1.0)
+            pcm = jnp.clip(o[..., 0].astype(jnp.float32), -1.0, 1.0)
             pcm16 = jnp.round(pcm * 32767.0).astype(jnp.int16)
             return out, pcm16
 
-        return self._maybe_aot(f"infer_f{max_frames}", jax.jit(fn))
+        name = (f"infer_f{max_frames}" if out_sr is None
+                else f"infer_f{max_frames}_sr{out_sr}")
+        return self._maybe_aot(name, jax.jit(fn))
 
     def _build_latents(self, max_frames: int):
         def fn(params, x, x_lengths, sid, noise_scale, length_scale,
@@ -940,10 +950,13 @@ class SynthesisModule:
         noise_scale_w: float = 0.8,
         cleaned: Optional[bool] = None,
         seed: int = 0,
+        out_sample_rate: Optional[int] = None,
     ) -> Tuple[List[np.ndarray], Dict[str, float]]:
         """Synthesize a list of utterances through one compiled program per
         (batch, text, frame) bucket triple. Returns per-utterance trimmed
-        audio and aggregate timings."""
+        audio and aggregate timings. `out_sample_rate` converts the output
+        rate on-device (windowed-sinc polyphase fused into the same
+        program); timings report audio seconds at the OUTPUT rate."""
         t0 = time.perf_counter()
         ids_list = [self.text_to_ids(t, cleaned) for t in texts]
         n = len(ids_list)
@@ -975,14 +988,26 @@ class SynthesisModule:
         # row (or an absurd length_scale) must not compile an unboundedly
         # large executable for the whole batch
         bucket = self._frame_bucket_capped(int(frames.max()))
-        fn = self._infer_jit(bucket)
+        out_sr = (None if out_sample_rate in (None, self.sampling_rate)
+                  else int(out_sample_rate))
+        fn = self._infer_jit(bucket, out_sr)
         out, pcm16 = fn(self.params, x, x_lengths, sid_arr, noise_scale,
                         length_scale, noise_scale_w, rng)
         pcm_host, y_lens = jax.device_get((pcm16, out.y_lengths))
         wavs = np.asarray(pcm_host, np.float32) / 32767.0
-        audios = [wavs[i, : y_lens[i] * self.hop_length] for i in range(n)]
+        sr_out = out_sr or self.sampling_rate
+        if out_sr is None:
+            n_samp = [int(y_lens[i]) * self.hop_length for i in range(n)]
+        else:
+            # trimmed length scales with the rational rate ratio
+            n_samp = [
+                -(-int(y_lens[i]) * self.hop_length * out_sr
+                  // self.sampling_rate)
+                for i in range(n)
+            ]
+        audios = [wavs[i, : n_samp[i]] for i in range(n)]
         elapsed = time.perf_counter() - t0
-        total_audio = sum(len(a) for a in audios) / self.sampling_rate
+        total_audio = sum(len(a) for a in audios) / sr_out
         return audios, {
             "total": elapsed,
             "audio_seconds": total_audio,

@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--length-scale", type=float, default=1.0)
     parser.add_argument("--noise-scale-w", type=float, default=0.8)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out-sample-rate", type=int, default=0,
+                        help="resample output wavs to this rate on-device "
+                             "(windowed-sinc polyphase fused into the "
+                             "synthesis program; 0 = model rate)")
     args = parser.parse_args()
 
     import jax
@@ -77,14 +81,15 @@ def main():
             length_scale=args.length_scale,
             noise_scale_w=args.noise_scale_w,
             seed=args.seed + lo,
+            out_sample_rate=args.out_sample_rate or None,
         )
         for (name, _sid, _text), audio in zip(chunk, audios):
             stem = os.path.splitext(os.path.basename(name))[0]
             n = seen_names.get(stem, 0)
             seen_names[stem] = n + 1
             base = f"{stem}.wav" if n == 0 else f"{stem}_{n + 1}.wav"
-            write_wav(os.path.join(args.out_dir, base),
-                      np.asarray(audio), module.sampling_rate)
+            write_wav(os.path.join(args.out_dir, base), np.asarray(audio),
+                      args.out_sample_rate or module.sampling_rate)
         total_audio += timings["audio_seconds"]
         total_time += timings["total"]
         print(f"[{lo + len(chunk)}/{len(rows)}] "

@@ -152,6 +152,31 @@ def test_synthesize_batch(module):
     assert max(np.abs(a).max() for a in audios) < 100
 
 
+def test_synthesize_batch_out_sample_rate(module):
+    """On-device output-rate conversion: lengths scale by the rational
+    ratio and the audio matches a host-side windowed-sinc resample of
+    the model-rate batch output."""
+    from mb_istft_vits_tpu.dsp.resample import resample_poly
+
+    texts = [TEXT, "a i u e o"]
+    base, _ = module.synthesize_batch(texts, seed=5)
+    sr_in = module.sampling_rate
+    sr_out = 2 * sr_in  # exact rational, exercises upsampling
+    res, timings = module.synthesize_batch(texts, seed=5,
+                                           out_sample_rate=sr_out)
+    assert timings["audio_seconds"] > 0
+    for a0, a1 in zip(base, res):
+        assert len(a1) == -(-len(a0) * sr_out // sr_in)
+        want = resample_poly(a0, sr_in, sr_out, "fast")
+        # int16 quantization on both paths -> ~1e-4; skip the last
+        # filter-reach samples: the fused path's sinc tail sees the
+        # decoder's real continuation past the trim point, the host
+        # path sees implicit zeros
+        reach = 64
+        np.testing.assert_allclose(a1[:-reach], want[:-reach], atol=5e-4)
+        assert np.all(np.isfinite(a1))
+
+
 def test_serving_from_orbax_checkpoint(module, tmp_path):
     """SynthesisModule loads this framework's own orbax checkpoints (a
     model dir or a ckpt/<step> path) and produces the same audio as the
