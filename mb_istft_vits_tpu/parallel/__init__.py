@@ -8,6 +8,7 @@ from mb_istft_vits_tpu.parallel.mesh import (  # noqa: F401
 )
 from mb_istft_vits_tpu.parallel.tp import (  # noqa: F401
     create_2d_mesh,
+    opt_state_shardings,
     param_shardings,
     param_spec,
     shard_train_state_tp,

@@ -22,11 +22,12 @@ collectives:
 - The batch stays sharded over the ``data`` axis (P("data") on dim 0),
   replicated across ``model``.  Gradients are automatically
   psum'ed over ``data`` and kept sharded over ``model``.
-- Optimizer state is replicated: `optax.flatten` concatenates all
-  leaves into one flat vector (train/step.py:make_optimizers) whose
-  length is not generally divisible by the axis size.  Params dominate
-  activations here, so TP's HBM win is in the forward/backward, not the
-  update.
+- Optimizer state shards too: `flatten_padded`
+  (train/step.py:make_optimizers) concatenates all leaves into one flat
+  vector zero-padded to a multiple of lcm(1..16), so the AdamW moment
+  vectors (the 2× params_size HBM cost of training) split evenly over
+  the ``model`` axis for any axis size up to 16.  Only scalar `count`
+  leaves stay replicated.
 
 Use `create_2d_mesh` + `shard_train_state_tp` + `shard_batch` (which
 accepts any mesh with a "data" axis) and the existing
@@ -111,10 +112,28 @@ def param_shardings(params: Any, mesh: Mesh,
     )
 
 
+def opt_state_shardings(opt_state: Any, mesh: Mesh,
+                        axis_name: str = "model") -> Any:
+    """NamedSharding tree for a flatten_padded optimizer state: the flat
+    1-D moment vectors (mu/nu, padded to divide the axis —
+    train/step.py:flatten_padded) shard over `axis_name`; scalar counts
+    and any non-divisible leaf replicate."""
+    axis_size = mesh.shape[axis_name]
+
+    def spec(leaf):
+        if (getattr(leaf, "ndim", 0) == 1 and leaf.shape[0] >= axis_size
+                and leaf.shape[0] % axis_size == 0):
+            return NamedSharding(mesh, P(axis_name))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, opt_state)
+
+
 def shard_train_state_tp(state: Any, mesh: Mesh,
                          axis_name: str = "model") -> Any:
     """Place a TrainState on a 2-D mesh: params tensor-sharded over
-    `axis_name`, optimizer state / step / rng replicated."""
+    `axis_name`, flat optimizer moments sharded over `axis_name`,
+    step / rng replicated."""
     repl = NamedSharding(mesh, P())
     return state.replace(
         step=jax.device_put(state.step, repl),
@@ -124,7 +143,13 @@ def shard_train_state_tp(state: Any, mesh: Mesh,
         params_d=jax.device_put(
             state.params_d, param_shardings(state.params_d, mesh, axis_name)
         ),
-        opt_state_g=jax.device_put(state.opt_state_g, repl),
-        opt_state_d=jax.device_put(state.opt_state_d, repl),
+        opt_state_g=jax.device_put(
+            state.opt_state_g,
+            opt_state_shardings(state.opt_state_g, mesh, axis_name),
+        ),
+        opt_state_d=jax.device_put(
+            state.opt_state_d,
+            opt_state_shardings(state.opt_state_d, mesh, axis_name),
+        ),
         rng=jax.device_put(state.rng, repl),
     )

@@ -1,0 +1,303 @@
+#!/usr/bin/env python
+"""Render a multi-hour training corpus from the real LJS filelist text.
+
+No corpus audio ships in this environment (zero egress), so the
+training-at-scale evidence uses the next best thing: the REAL LJSpeech
+`.cleaned` IPA rows (vendored reference filelists, the actual data
+contract of `/root/reference/data_utils.py:39-40`) rendered to audio by a
+deterministic source-filter formant synthesizer. Phoneme identity drives
+the acoustics — vowels get formant sets, fricatives get shaped noise
+bands, stops get closure+burst, stress marks move pitch/duration — so
+monotonic text↔audio alignment exists and is learnable: MAS, the duration
+predictor, and the mel loss all face the same structure real speech gives
+them, at the real corpus' utterance-length distribution.
+
+Usage:
+  python scripts/make_corpus.py OUTDIR [--n-train 4096] [--n-val 100]
+Writes OUTDIR/wavs/*.wav (22.05 kHz int16), OUTDIR/train.txt / val.txt
+(`path|cleaned_ipa` rows), and OUTDIR/config.json (the flagship
+ljs_mb_istft_vits config pointed at the corpus).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+from scipy.io.wavfile import write as wav_write
+from scipy.signal import lfilter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SR = 22050
+
+# ---------------------------------------------------------------- phone map
+# (F1, F2, F3) in Hz for voiced sonorants (Peterson&Barney-style values).
+VOWELS = {
+    "i": (280, 2250, 2890), "ɪ": (400, 1920, 2560), "e": (400, 2100, 2700),
+    "ɛ": (550, 1770, 2490), "æ": (690, 1660, 2490), "a": (750, 1300, 2500),
+    "ɑ": (710, 1100, 2540), "ɒ": (590, 880, 2540), "ɔ": (590, 880, 2540),
+    "o": (450, 800, 2830), "ʊ": (450, 1030, 2380), "u": (310, 870, 2250),
+    "ʌ": (620, 1220, 2550), "ə": (500, 1500, 2500), "ɚ": (490, 1350, 1690),
+    "ɝ": (490, 1350, 1690), "ɐ": (650, 1300, 2500), "ᵻ": (450, 1800, 2550),
+    "y": (280, 2100, 2400), "ʏ": (400, 1800, 2300), "ø": (450, 1600, 2400),
+    "ɵ": (500, 1400, 2400), "œ": (550, 1500, 2400), "ɶ": (650, 1400, 2400),
+    "ɨ": (320, 1650, 2600), "ʉ": (320, 1300, 2300), "ɯ": (300, 1300, 2300),
+    "ɤ": (460, 1200, 2500), "ɘ": (490, 1600, 2500), "ɞ": (550, 1350, 2450),
+    "ɜ": (560, 1400, 2450),
+}
+GLIDES = {
+    "l": (360, 1300, 2700), "ɫ": (380, 900, 2600), "ɭ": (360, 1300, 2700),
+    "ʎ": (300, 2000, 2700), "ɹ": (310, 1060, 1380), "ɻ": (310, 1060, 1380),
+    "r": (310, 1060, 1380), "ɾ": (310, 1060, 1380), "ɺ": (340, 1200, 2500),
+    "ʀ": (400, 1100, 2200), "ʁ": (450, 1100, 2200), "ɽ": (320, 1100, 1500),
+    "w": (290, 610, 2150), "ʍ": (290, 610, 2150), "j": (280, 2250, 2890),
+    "ɥ": (280, 2000, 2400), "ʋ": (300, 900, 2300), "ⱱ": (300, 900, 2300),
+}
+NASALS = {
+    "m": (250, 1000, 2200), "n": (250, 1500, 2500), "ŋ": (250, 2000, 2700),
+    "ɱ": (250, 1000, 2200), "ɳ": (250, 1500, 2500), "ɲ": (250, 1800, 2600),
+    "ɴ": (250, 1700, 2500), "N": (250, 1700, 2500),
+}
+# fricatives: (noise center Hz, bandwidth Hz, voiced?)
+FRICS = {
+    "s": (6500, 2500, False), "z": (6500, 2500, True),
+    "ʃ": (3300, 2200, False), "ʒ": (3300, 2200, True),
+    "ʂ": (3600, 2200, False), "ʐ": (3600, 2200, True),
+    "ɕ": (4200, 2400, False), "ʑ": (4200, 2400, True),
+    "f": (4500, 5000, False), "v": (4500, 5000, True),
+    "θ": (5200, 5000, False), "ð": (5200, 5000, True),
+    "ç": (3800, 2800, False), "ʝ": (3800, 2800, True),
+    "x": (2600, 2200, False), "ɣ": (2600, 2200, True),
+    "χ": (2200, 2000, False), "h": (1600, 2600, False),
+    "ɦ": (1600, 2600, True), "ħ": (1400, 2000, False),
+    "ʕ": (1200, 1500, True), "ɸ": (3800, 4500, False),
+    "β": (3800, 4500, True), "ɬ": (4600, 3200, False),
+    "ɮ": (4600, 3200, True), "ʜ": (1500, 2200, False),
+    "ʢ": (1200, 1500, True), "ɧ": (3000, 2800, False),
+}
+# stops: (burst center Hz, voiced?)
+STOPS = {
+    "p": (900, False), "b": (900, True), "t": (4000, False),
+    "d": (4000, True), "k": (2200, False), "g": (2200, True),
+    "ɡ": (2200, True), "q": (1800, False), "ɢ": (1800, True),
+    "ʔ": (500, False), "ʡ": (700, False), "c": (3200, False),
+    "ɟ": (3200, True), "ʈ": (3800, False), "ɖ": (3800, True),
+    "ɓ": (900, True), "ɗ": (3800, True), "ʄ": (3200, True),
+    "ɠ": (2200, True), "ʛ": (1800, True), "ʘ": (1200, False),
+    "ǀ": (4000, False), "ǁ": (3500, False), "ǂ": (3200, False),
+    "ǃ": (2500, False),
+}
+AFFRICATES = {"ʧ": ("t", "ʃ"), "ʤ": ("d", "ʒ")}
+SILENCE = {",": 0.14, ";": 0.14, ":": 0.12, ".": 0.22, "!": 0.22, "?": 0.22,
+           "—": 0.18, "…": 0.25, "¡": 0.0, "¿": 0.0, '"': 0.0, "«": 0.0,
+           "»": 0.0, "“": 0.0, "”": 0.0, " ": 0.045}
+# prosody diacritics handled inline: ˈ ˌ ː ˑ ʼ ʴ ʰ ʱ ʲ ʷ ˠ ˤ ˞ ↓ ↑ → ↗ ↘ ̩
+
+
+def _resonator(x: np.ndarray, f: float, bw: float) -> np.ndarray:
+    """Two-pole resonator, unity gain at the pole frequency."""
+    r = np.exp(-np.pi * bw / SR)
+    a1 = 2.0 * r * np.cos(2.0 * np.pi * f / SR)
+    a2 = -r * r
+    b0 = (1.0 - r) * np.sqrt(1.0 - 2.0 * r * np.cos(4.0 * np.pi * f / SR)
+                             + r * r)
+    return lfilter([b0], [1.0, -a1, -a2], x)
+
+
+def _formant_filter(x: np.ndarray, formants, bws=(90, 110, 170)):
+    y = x
+    for f, bw in zip(formants, bws):
+        y = _resonator(y, f, bw)
+    return y
+
+
+def _noise_band(n: int, center: float, bw: float, rng) -> np.ndarray:
+    x = rng.standard_normal(n)
+    return _resonator(x, min(center, SR / 2 - 500), bw)
+
+
+def _pulse_train(f0: np.ndarray) -> np.ndarray:
+    """Impulse train from an instantaneous-f0 array (phase accumulator),
+    with a -12 dB/oct glottal tilt (two one-pole lowpasses)."""
+    phase = np.cumsum(f0 / SR)
+    imp = np.zeros(len(f0))
+    idx = np.searchsorted(phase, np.arange(1, int(phase[-1]) + 1))
+    imp[idx[idx < len(imp)]] = 1.0
+    for _ in range(2):
+        imp = lfilter([0.15], [1.0, -0.85], imp)
+    return imp
+
+
+def _env(n: int, attack: float = 0.008, release: float = 0.015) -> np.ndarray:
+    e = np.ones(n)
+    na, nr = int(attack * SR), int(release * SR)
+    if na and na < n:
+        e[:na] = np.linspace(0, 1, na)
+    if nr and nr < n:
+        e[-nr:] = np.linspace(1, 0, nr)
+    return e
+
+
+class Segment:
+    __slots__ = ("kind", "dur", "params", "amp", "pitch_mul")
+
+    def __init__(self, kind, dur, params=None, amp=1.0, pitch_mul=1.0):
+        self.kind, self.dur, self.params = kind, dur, params
+        self.amp, self.pitch_mul = amp, pitch_mul
+
+
+def _plan(text: str, rng) -> list:
+    """IPA string -> segment plan. Durations are phone-class-typical with
+    seeded jitter; stress/length diacritics modulate the NEXT vowel /
+    PREVIOUS phone like their phonetic function."""
+    segs: list = []
+    stress = 0.0
+    for ch in text:
+        j = 0.8 + 0.4 * rng.random()
+        if ch in ("ˈ", "ˌ"):
+            stress = 1.0 if ch == "ˈ" else 0.5
+            continue
+        if ch in ("ː", "ˑ"):
+            if segs and segs[-1].kind != "sil":
+                segs[-1].dur *= 1.6 if ch == "ː" else 1.3
+            continue
+        if ch in SILENCE:
+            d = SILENCE[ch]
+            if d > 0:
+                segs.append(Segment("sil", d * j))
+            continue
+        if ch in AFFRICATES:
+            a, b = AFFRICATES[ch]
+            segs.append(Segment("stop", 0.045 * j, STOPS[a]))
+            segs.append(Segment("fric", 0.06 * j, FRICS[b]))
+            continue
+        if ch in VOWELS:
+            amp = 1.0 + 0.25 * stress
+            pm = 1.0 + 0.18 * stress
+            segs.append(Segment("vowel", (0.085 + 0.03 * stress) * j,
+                                VOWELS[ch], amp, pm))
+            stress = 0.0
+        elif ch in GLIDES:
+            segs.append(Segment("glide", 0.055 * j, GLIDES[ch], 0.7))
+        elif ch in NASALS:
+            segs.append(Segment("nasal", 0.06 * j, NASALS[ch], 0.6))
+        elif ch in FRICS:
+            segs.append(Segment("fric", 0.075 * j, FRICS[ch]))
+        elif ch in STOPS:
+            segs.append(Segment("stop", 0.055 * j, STOPS[ch]))
+        # anything else (tone letters, superscripts) is prosodic decoration:
+        # skipped, matching its zero acoustic footprint here
+    return segs
+
+
+def render(text: str, utt_id: str, base_f0: float = 185.0) -> np.ndarray:
+    seed = int.from_bytes(hashlib.sha1(utt_id.encode()).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    segs = _plan(text, rng)
+    if not segs:
+        segs = [Segment("sil", 0.3)]
+    total = sum(s.dur for s in segs) + 0.1
+    n_total = int(total * SR)
+    out = np.zeros(n_total + SR)  # slack, trimmed below
+    # phrase-level declination + slow wobble
+    t = 0.05  # lead-in silence
+    pos = int(t * SR)
+    dur_sum = sum(s.dur for s in segs)
+    elapsed = 0.0
+    for s in segs:
+        n = max(int(s.dur * SR), 8)
+        if s.kind == "sil":
+            pos += n
+            elapsed += s.dur
+            continue
+        decl = 1.15 - 0.3 * (elapsed / max(dur_sum, 1e-6))
+        f0 = base_f0 * decl * s.pitch_mul * (
+            1.0 + 0.02 * np.sin(2 * np.pi * 3.1 * (elapsed + np.arange(n) / SR))
+        )
+        if s.kind in ("vowel", "glide", "nasal"):
+            src = _pulse_train(f0)
+            y = _formant_filter(src, s.params)
+            if s.kind == "nasal":
+                y = lfilter([0.25], [1.0, -0.75], y)  # murmur lowpass
+            y *= s.amp
+        elif s.kind == "fric":
+            center, bw, voiced = s.params
+            y = 0.25 * _noise_band(n, center, bw, rng)
+            if voiced:
+                y = 0.6 * y + 0.5 * _formant_filter(_pulse_train(f0),
+                                                    (300, 1400, 2500))
+        else:  # stop: closure then burst
+            center, voiced = s.params
+            y = np.zeros(n)
+            nb = min(int(0.012 * SR), n)
+            y[-nb:] = 0.8 * _noise_band(nb, center, 1800, rng)
+            if voiced:
+                y += 0.25 * _formant_filter(_pulse_train(f0), (250, 1200, 2400))
+        y = y[:n] * _env(n)
+        out[pos:pos + n] += y
+        pos += n
+        elapsed += s.dur
+    out = out[:pos + int(0.05 * SR)]
+    peak = np.max(np.abs(out)) + 1e-9
+    return (0.6 / peak) * out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir")
+    ap.add_argument("--n-train", type=int, default=4096)
+    ap.add_argument("--n-val", type=int, default=100)
+    ap.add_argument("--max-chars", type=int, default=160,
+                    help="skip longer rows (bucket cap is 1000 spec frames)")
+    args = ap.parse_args()
+    wav_dir = os.path.join(args.outdir, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    from mb_istft_vits_tpu.utils.audio import float_to_int16
+
+    def emit(src_list: str, n: int, out_list: str, tag: str) -> float:
+        rows = []
+        with open(os.path.join(repo, "filelists", src_list)) as f:
+            for line in f:
+                p, txt = line.rstrip("\n").split("|", 1)
+                if 8 <= len(txt) <= args.max_chars:
+                    rows.append((os.path.basename(p), txt))
+                if len(rows) >= n:
+                    break
+        secs = 0.0
+        out_rows = []
+        for base, txt in rows:
+            wav_path = os.path.join(wav_dir, tag + "_" + base)
+            if not os.path.exists(wav_path):
+                audio = render(txt, base)
+                wav_write(wav_path, SR, float_to_int16(audio))
+                secs += len(audio) / SR
+            else:
+                secs += os.path.getsize(wav_path) / 2 / SR
+            out_rows.append(f"{wav_path}|{txt}")
+        with open(os.path.join(args.outdir, out_list), "w") as f:
+            f.write("\n".join(out_rows) + "\n")
+        return secs
+
+    t_secs = emit("ljs_audio_text_train_filelist.txt.cleaned",
+                  args.n_train, "train.txt", "tr")
+    v_secs = emit("ljs_audio_text_val_filelist.txt.cleaned",
+                  args.n_val, "val.txt", "va")
+    with open(os.path.join(repo, "configs", "ljs_mb_istft_vits.json")) as f:
+        cfg = json.load(f)
+    cfg["data"]["training_files"] = os.path.join(args.outdir, "train.txt")
+    cfg["data"]["validation_files"] = os.path.join(args.outdir, "val.txt")
+    cfg_path = os.path.join(args.outdir, "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f, indent=1)
+    print(f"train {t_secs/3600:.2f} h, val {v_secs/3600:.2f} h -> {cfg_path}")
+
+
+if __name__ == "__main__":
+    main()

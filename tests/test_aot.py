@@ -7,6 +7,8 @@ single-device subprocesses, and the in-process tests pin the
 multi-device no-op behavior.
 """
 
+import pytest
+
 import json
 import os
 import textwrap
@@ -14,6 +16,8 @@ import textwrap
 import numpy as np
 
 from tests.subproc import run_worker as _run
+
+pytestmark = pytest.mark.slow  # subprocess drives / full-program compiles
 
 GENERIC_WORKER = textwrap.dedent("""
     import os, sys

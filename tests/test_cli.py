@@ -7,6 +7,8 @@ the exit status — the things library-level tests can't see. Single
 CPU device per worker keeps them fast.
 """
 
+import pytest
+
 import json
 import wave
 
@@ -14,6 +16,8 @@ import numpy as np
 
 from tests.subproc import run_cli as _run_cli
 from tests.test_infer import TINY_CONFIG
+
+pytestmark = pytest.mark.slow  # subprocess drives / full-program compiles
 
 
 def _read_wav(path):

@@ -13,6 +13,8 @@ import numpy as np
 
 from tests.subproc import run_worker as _run
 
+pytestmark = pytest.mark.slow  # subprocess drives / full-program compiles
+
 WORKER = textwrap.dedent("""
     import os, sys, hashlib, json
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"

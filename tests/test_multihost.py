@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess drives / full-program compiles
+
 
 def _free_port() -> int:
     with socket.socket() as s:

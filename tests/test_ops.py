@@ -124,11 +124,15 @@ def test_maximum_path_pallas_interpret(rng, monkeypatch):
     monkeypatch.setattr(mp.pl, "pallas_call", interp)
 
     neg_cent, mask = _random_mas_problem(rng, b=4, t_y=33, t_x=17)
-    ours = np.asarray(
-        mp.maximum_path_pallas(jnp.asarray(neg_cent), jnp.asarray(mask))
-    )
     oracle = maximum_path_numpy(neg_cent, mask)
-    np.testing.assert_array_equal(ours, oracle)
+    # both implementations: fused (decisions in VMEM scratch, K-row
+    # macro-steps incl. the T_y % K != 0 padding path) and two-pass
+    for force in ("fused", "two_pass"):
+        ours = np.asarray(
+            mp.maximum_path_pallas(jnp.asarray(neg_cent), jnp.asarray(mask),
+                                   force=force)
+        )
+        np.testing.assert_array_equal(ours, oracle, err_msg=force)
 
 
 def test_maximum_path_native_cpp(rng):

@@ -107,6 +107,7 @@ def test_train_step_multispeaker(rng):
     assert np.isfinite(float(metrics["loss/g/total"]))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8_devices(rng):
     """Full data-parallel train step over a multi-device CPU mesh.
 
@@ -130,6 +131,7 @@ def test_train_step_sharded_8_devices(rng):
     assert np.isfinite(float(metrics["loss/d/total"]))
 
 
+@pytest.mark.slow
 def test_train_step_tensor_parallel_2d_mesh(rng):
     """Data × model 2-D mesh: params tensor-sharded over the 'model'
     axis, batch sharded over 'data'. The train step itself is
@@ -170,6 +172,17 @@ def test_train_step_tensor_parallel_2d_mesh(rng):
         and any(s is not None for s in leaf.sharding.spec)
     )
     assert n_sharded >= 10, n_sharded
+
+    # the flat AdamW moment vectors shard over 'model' too
+    # (flatten_padded pads the flat length to divide the axis), and the
+    # step's output preserves that sharding — the HBM win is end-to-end
+    for opt_state in (state2.opt_state_g, state2.opt_state_d):
+        flat = [l for l in jax.tree.leaves(opt_state)
+                if getattr(l, "ndim", 0) == 1]
+        assert flat, "flat moment vectors not found"
+        for leaf in flat:
+            assert leaf.shape[0] % 2 == 0
+            assert leaf.sharding.spec == P("model"), leaf.sharding
 
     for k in ("loss/g/total", "loss/d/total", "loss/g/mel"):
         assert np.isfinite(float(metrics[k])), k
