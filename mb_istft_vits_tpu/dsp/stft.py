@@ -12,10 +12,22 @@ Behavior contract (reference, /root/reference):
     (reflect pad n_fft//2) — used by the multi-resolution STFT loss.
 
 TPU-first design: instead of complex FFT ops, frames are extracted with
-static slices (reshape trick when hop | n_fft, else a gather) and the DFT is
-a real matmul against a precomputed (windowed) basis — this keeps the hot
+static slices (reshape trick over ceil(n_fft/hop) shifted views) and the DFT
+is a real matmul against a precomputed (windowed) basis — this keeps the hot
 iSTFT head (n_fft=16) and the spectrogram front-end on the MXU with zero
 host round-trips and no complex dtype.
+
+Layout note (round-2 MFU fix): round 1 expressed framing+DFT as ONE strided
+convolution. Correct, but its operands are C_in=1 / C_out=1 tensors —
+1/128 lane utilization on TPU — and its data gradient is a conv-transpose
+back to a single-channel signal; the profiler showed those two ops alone
+were ~20% of the train step (13.4 ms/step for the mel-loss STFT backward,
+8 ms/step for the device-spec front end at b32). The framing is now
+reshape + r static slices + concat, and the DFT is a [B, F, n_fft_pad] @
+[n_fft_pad, 2*n_bins] matmul: contraction over n_fft on sublanes, bins on
+lanes — MXU-shaped in BOTH directions, since autodiff turns the concat into
+static-slice adds and the matmul's gradient is another matmul against the
+transposed basis. No conv, no scatter, identical math.
 """
 
 from __future__ import annotations
@@ -90,27 +102,36 @@ def stft(
     reference `stft_loss.py:23`); center=False matches the spectrogram
     front-end after its own explicit padding (`mel_processing.py:63-67`).
 
-    Framing + DFT are ONE strided convolution against the windowed real-DFT
-    basis (the reference's legacy conv formulation, `stft.py:79-142`):
-    this hits the MXU directly AND differentiates as a transposed conv —
-    crucial for the MR-STFT training losses, where a gather-based framing
-    would backprop through a serialized TPU scatter (~1000× slower).
+    Framing is r = ceil(n_fft/hop) shifted static slices of a [B, F+r-1,
+    hop] view (autodiff: static-slice adds, no scatter); the DFT is one
+    [B, F, r*hop] @ [r*hop, 2*n_bins] matmul against the windowed basis
+    (zero rows past n_fft), which keeps both the forward and its gradient
+    on the MXU — see module docstring.
     """
     if y.ndim == 1:
         y = y[None]
     if center:
         p = n_fft // 2
         y = jnp.pad(y, ((0, 0), (p, p)), mode=pad_mode)
-    cos_b, sin_b = _dft_basis(n_fft, win_length)
-    n_bins = n_fft // 2 + 1
+    b, t = y.shape
+    f = (t - n_fft) // hop_length + 1
+    r = -(-n_fft // hop_length)  # ceil
+    n_pad = r * hop_length
+    total = (f + r - 1) * hop_length  # last frame's n_pad-sample reach
+    if total > t:
+        y = jnp.pad(y, ((0, 0), (0, total - t)))
+    elif total < t:
+        y = y[:, :total]  # tail samples no frame uses
     dtype = y.dtype
-    # [n_fft, 1, 2*n_bins] conv filter: frames@basis == strided conv
-    w = jnp.asarray(np.concatenate([cos_b, sin_b], axis=1), dtype)[:, None, :]
-    out = jax.lax.conv_general_dilated(
-        y[:, :, None], w,
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
+    xr = y.reshape(b, f + r - 1, hop_length)
+    frames = jnp.concatenate([xr[:, j:j + f] for j in range(r)], axis=2)
+    cos_b, sin_b = _dft_basis(n_fft, win_length)
+    basis = np.concatenate([cos_b, sin_b], axis=1)  # [n_fft, 2*n_bins]
+    if n_pad != n_fft:
+        basis = np.pad(basis, ((0, n_pad - n_fft), (0, 0)))
+    n_bins = n_fft // 2 + 1
+    out = jnp.matmul(
+        frames, jnp.asarray(basis, dtype),
         # HIGHEST precision: the spectrogram front-end feeds the posterior
         # and the mel loss; TPU-default bf16 is not enough there.
         precision=jax.lax.Precision.HIGHEST,

@@ -566,6 +566,24 @@ class SynthesisModule:
             pos += chunk_frames
         return plan
 
+    def _chunk_plan_growing(self, t_total: int, first_chunk: int,
+                            overlap_frames: int,
+                            max_chunk: int) -> List[Tuple[int, int, int]]:
+        """Chunk plan with doubling body sizes (first_chunk, 2x, 4x, ...,
+        capped at max_chunk): O(log T) dispatch round trips instead of
+        O(T / chunk). Entries are (pos, lo, hi) like _chunk_plan; the body
+        length of an entry is the next entry's pos - pos (consumed that
+        way by _ola_join)."""
+        plan: List[Tuple[int, int, int]] = []
+        pos, size = 0, first_chunk
+        while pos < t_total:
+            plan.append((pos,
+                         max(0, pos - overlap_frames),
+                         min(t_total, pos + size + overlap_frames)))
+            pos += size
+            size = min(size * 2, max_chunk)
+        return plan
+
     def stream_from_latents(
         self,
         z: np.ndarray,
@@ -574,28 +592,44 @@ class SynthesisModule:
         overlap_frames: int = 8,
         xcorr_align: bool = False,
         max_shift: int = 32,
+        grow_chunks: bool = True,
+        max_chunk_frames: int = 512,
     ) -> Iterator[np.ndarray]:
         """Decode z chunk-by-chunk with waveform overlap-add crossfade —
         the distilled version of the reference notebooks' chunked decoding
         strategies (infer.ipynb cells 3-12) and the repaired
         synthesize_from_shared_latents. xcorr_align adds the notebooks'
-        cross-correlation shift search at each join (cell 8 strategy)."""
+        cross-correlation shift search at each join (cell 8 strategy).
+
+        grow_chunks (default): the first chunk stays `chunk_frames` (so
+        time-to-first-audio is unchanged) and each later chunk doubles up
+        to `max_chunk_frames`. Every chunk costs one dispatch+fetch round
+        trip on the tunnel runtime regardless of size, so O(log T) growing
+        chunks replace O(T/chunk) fixed ones — after ~3 chunks the stream
+        decodes at near-batched cost while the playback buffer is already
+        seconds ahead of real time."""
         t_total = z.shape[0]
         sid_arr = self._sid(sid)
-        dec = self._decode_jit(chunk_frames + 2 * overlap_frames)
 
         # plan all windows up front, then run a one-deep pipeline: chunk
         # i+1 is dispatched before chunk i's result is fetched, so device
         # compute and D2H transfer overlap (time-to-next-chunk is
         # max(compute, fetch) instead of their sum — this is what makes
         # streaming viable over a high-RTT dispatch link)
-        plan = self._chunk_plan(t_total, chunk_frames, overlap_frames)
+        if grow_chunks:
+            plan = self._chunk_plan_growing(t_total, chunk_frames,
+                                            overlap_frames, max_chunk_frames)
+        else:
+            plan = self._chunk_plan(t_total, chunk_frames, overlap_frames)
         if not plan:
             return
 
         def dispatch(i: int):
-            window = self._stack_windows(
-                plan[i : i + 1], z, chunk_frames + 2 * overlap_frames, 1)
+            pos = plan[i][0]
+            nxt = plan[i + 1][0] if i + 1 < len(plan) else t_total
+            win = (nxt - pos) + 2 * overlap_frames
+            window = self._stack_windows(plan[i : i + 1], z, win, 1)
+            dec = self._decode_jit(win)
             return dec(self.params, jnp.asarray(window), sid_arr)
 
         def wavs():
@@ -606,7 +640,7 @@ class SynthesisModule:
                 pending = nxt
                 yield wav
 
-        yield from self._ola_join(plan, wavs(), t_total, chunk_frames,
+        yield from self._ola_join(plan, wavs(), t_total,
                                   overlap_frames, xcorr_align, max_shift)
 
     def _ola_join(
@@ -614,24 +648,27 @@ class SynthesisModule:
         plan: List[Tuple[int, int, int]],
         wavs: Iterator[np.ndarray],
         t_total: int,
-        chunk_frames: int,
         overlap_frames: int,
         xcorr_align: bool,
         max_shift: int,
     ) -> Iterator[np.ndarray]:
         """Waveform overlap-add crossfade join over per-chunk decodes
-        (`wavs` yields the raw decoded window for each plan entry)."""
+        (`wavs` yields the raw decoded window for each plan entry). Each
+        entry's body length is the next entry's pos - pos (supports the
+        growing-chunk plan; uniform plans reduce to chunk_frames)."""
         spf = self._samples_per_frame()
         ov_samps = overlap_frames * spf
         fade_in = np.linspace(0.0, 1.0, ov_samps, dtype=np.float32)
         fade_out = 1.0 - fade_in
 
         prev_tail: Optional[np.ndarray] = None
-        for (pos, lo, hi), wav in zip(plan, wavs):
+        for idx, ((pos, lo, hi), wav) in enumerate(zip(plan, wavs)):
+            body_frames = (plan[idx + 1][0] if idx + 1 < len(plan)
+                           else t_total) - pos
             wav = wav[: (hi - lo) * spf]
             # valid region of this chunk inside `wav`
             start = (pos - lo) * spf
-            end = min(start + chunk_frames * spf, len(wav))
+            end = min(start + body_frames * spf, len(wav))
             if (xcorr_align and prev_tail is not None
                     and start >= ov_samps and len(prev_tail) == ov_samps):
                 # shift the WHOLE chunk window so the aligned overlap
@@ -661,7 +698,7 @@ class SynthesisModule:
             # (ov_samps == 0 would make body[:-0] empty / body[-0:] whole —
             # butt-join instead)
             tail_sz = min(ov_samps, len(body))
-            if (ov_samps > 0 and pos + chunk_frames < t_total
+            if (ov_samps > 0 and pos + body_frames < t_total
                     and tail_sz == ov_samps):
                 yield body[:-ov_samps] if len(body) > ov_samps else \
                     body[:0]
@@ -717,7 +754,7 @@ class SynthesisModule:
         spf = self._samples_per_frame()
         chunk_wavs = iter([wav[i] for i in range(n)])
         return np.concatenate(list(self._ola_join(
-            plan, chunk_wavs, t_total, chunk_frames, overlap_frames,
+            plan, chunk_wavs, t_total, overlap_frames,
             xcorr_align, max_shift,
         ))).astype(np.float32)[: t_total * spf]
 

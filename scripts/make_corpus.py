@@ -293,6 +293,11 @@ def main() -> None:
         cfg = json.load(f)
     cfg["data"]["training_files"] = os.path.join(args.outdir, "train.txt")
     cfg["data"]["validation_files"] = os.path.join(args.outdir, "val.txt")
+    # the flagship eval_interval (100k) is sized for multi-week runs; the
+    # at-scale evidence run wants eval audio + MCD/LSD trends every 500
+    cfg["train"]["eval_interval"] = 500
+    cfg["train"]["log_interval"] = 50
+    cfg["train"]["fp16_run"] = True  # bf16 on TPU
     cfg_path = os.path.join(args.outdir, "config.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f, indent=1)

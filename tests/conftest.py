@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite's cost is XLA compiles (the two
+# tiny GAN train programs alone are ~100 s each on one CPU); repeat runs
+# deserialize instead of recompiling
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                          "tests")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

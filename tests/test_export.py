@@ -10,6 +10,7 @@ import os
 import textwrap
 
 import numpy as np
+import pytest
 
 from tests.subproc import run_worker as _run
 

@@ -253,14 +253,30 @@ def test_synthesize_batch_multichip(module, tmp_path):
 def test_decode_chunks_batched_matches_streaming(module):
     """The one-dispatch batched chunk decode must reproduce the
     pipelined streaming path exactly (same per-chunk programs, shared
-    _ola_join)."""
+    _ola_join) — uniform chunk plan on both sides."""
     z, y_len, sid = module.prepare_shared_latents(TEXT, seed=3)
     streamed = module.synthesize_from_shared_latents(
-        z, sid, chunk_frames=16, overlap_frames=4)
+        z, sid, chunk_frames=16, overlap_frames=4, grow_chunks=False)
     batched = module.decode_chunks_batched(
         z, sid, chunk_frames=16, overlap_frames=4)
     assert len(batched) == len(streamed) == y_len * module.hop_length
     np.testing.assert_allclose(batched, streamed, atol=5e-5)
+
+
+def test_stream_growing_chunks_reconstructs(module):
+    """Default streaming now doubles chunk sizes after the first (O(log T)
+    dispatch round trips); the joined waveform must still reconstruct the
+    full decode and keep the exact sample count."""
+    z, y_len, sid = module.prepare_shared_latents(TEXT, seed=3)
+    full = module.infer_z_only(z, sid)
+    chunks = list(module.stream_from_latents(z, sid, chunk_frames=8,
+                                             overlap_frames=4))
+    # first body stays small (TTFA contract): 8 frames + crossfade holdback
+    assert len(chunks[0]) <= 8 * module.hop_length
+    streamed = np.concatenate(chunks)
+    assert len(streamed) == len(full) == y_len * module.hop_length
+    c = np.corrcoef(full, streamed)[0, 1]
+    assert c > 0.97, c
 
 
 def test_decode_chunks_batched_multichip(module, tmp_path):
