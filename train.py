@@ -194,10 +194,12 @@ def main():
                              "on-device spectrogram with int16 PCM feeding")
     parser.add_argument("--aot-cache", type=str, default=None, metavar="DIR",
                         help="persist the compiled train executables under "
-                             "DIR (utils/aot.py): relaunches and preemption "
-                             "resumes load them in seconds instead of "
-                             "re-paying the multi-minute XLA cold compile "
-                             "(single-device runs only)")
+                             "DIR: relaunches and preemption resumes load "
+                             "them in seconds instead of re-paying the "
+                             "multi-minute XLA cold compile (single-device: "
+                             "utils/aot.py serialized executables; "
+                             "multi-device: the XLA persistent compilation "
+                             "cache under DIR/xla)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="raise on NaN/Inf in jitted computations "
                              "(the reference's always-on "
@@ -215,6 +217,14 @@ def main():
 
     import jax
     import numpy as np
+
+    if args.aot_cache:
+        # the XLA persistent compilation cache handles every topology
+        # (multi-device SPMD executables round-trip through it, unlike the
+        # single-device AotCache below); set it before anything compiles
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(args.aot_cache, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mb_istft_vits_tpu.config import Config
     from mb_istft_vits_tpu.data import (
@@ -331,7 +341,9 @@ def main():
                 logger.info("aot: caching train executables under %s",
                             args.aot_cache)
         elif is_rank0:
-            logger.info("aot: disabled (multi-device runtime)")
+            logger.info("aot: multi-device runtime — executable cache via "
+                        "the XLA persistent compilation cache at %s",
+                        os.path.join(args.aot_cache, "xla"))
     step_fn = make_train_step(cfg, synth, disc, aot_cache=aot_cache)
 
     writer = None
