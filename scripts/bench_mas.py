@@ -29,7 +29,10 @@ def main():
     import jax.numpy as jnp
 
     from mb_istft_vits_tpu.ops.mas import maximum_path
+    from mb_istft_vits_tpu.ops import mas_pallas
     from mb_istft_vits_tpu.ops.mas_pallas import maximum_path_pallas
+
+    scan_jit = jax.jit(lambda a, m: maximum_path(a, m, use_pallas=False))
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     print(f"backend: {jax.devices()[0].device_kind}")
@@ -57,18 +60,24 @@ def main():
             & (np.arange(t_x)[None, None, :] < t_xs[:, None, None])
         mask = jnp.asarray(mask.astype(np.float32))
 
-        scan_ms = timeit(
-            lambda a, m: maximum_path(a, m, use_pallas=False), nc, mask)
+        scan_ms = timeit(scan_jit, nc, mask)
         row = f"[{b},{t_y},{t_x}] scan {scan_ms:7.2f} ms"
         if on_tpu:
+            dec_bytes = (mas_pallas._round_up(t_y, mas_pallas._ROWS_PER_STEP)
+                         * mas_pallas._round_up(b, 32)
+                         * mas_pallas._round_up(t_x, 128))
+            fits = dec_bytes <= mas_pallas._FUSED_VMEM_BUDGET
             two_ms = timeit(
                 lambda a, m: maximum_path_pallas(a, m, force="two_pass"),
                 nc, mask)
-            fused_ms = timeit(
-                lambda a, m: maximum_path_pallas(a, m, force="fused"),
-                nc, mask)
-            row += (f" | two_pass {two_ms:7.2f} ms ({scan_ms/two_ms:4.2f}x)"
-                    f" | fused {fused_ms:7.2f} ms ({scan_ms/fused_ms:4.2f}x)")
+            row += f" | two_pass {two_ms:7.2f} ms ({scan_ms/two_ms:4.2f}x)"
+            if fits:
+                fused_ms = timeit(
+                    lambda a, m: maximum_path_pallas(a, m, force="fused"),
+                    nc, mask)
+                row += f" | fused {fused_ms:7.2f} ms ({scan_ms/fused_ms:4.2f}x)"
+            else:
+                row += " | fused: n/a (dec scratch > VMEM budget, auto->two_pass)"
         print(row)
 
 

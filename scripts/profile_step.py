@@ -44,14 +44,18 @@ def parse_xspace(logdir: str, top_k: int = 40) -> None:
         by_name: dict = collections.Counter()
         by_cat: dict = collections.Counter()
         total_ps = 0
+        # names are full HLO instruction texts like
+        # '%fusion.12 = bf16[...]{...} fusion(...), kind=kOutput, ...'
+        opcode_re = re.compile(r"=\s*\S+\s+([a-z][a-z0-9_-]*)\(")
         for line in plane.lines:
             if line.name not in ("XLA Ops", "XLA TPU Ops"):
                 continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 by_name[name] += ev.duration_ps
-                # fusion names look like 'fusion.123', 'convolution.5' etc.
-                cat = re.sub(r"[.\d]+$", "", name.split("/")[-1])
+                m = opcode_re.search(name)
+                cat = m.group(1) if m else re.sub(
+                    r"[.\d]+$", "", name.split(" ")[0].lstrip("%"))
                 by_cat[cat] += ev.duration_ps
                 total_ps += ev.duration_ps
         if not total_ps:
