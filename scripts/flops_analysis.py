@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--peak-tflops", type=float, default=197.0,
                         help="chip peak bf16 TFLOP/s for the utilization "
                              "column (197 = TPU v5e)")
+    parser.add_argument("--hbm-gbps", type=float, default=819.0,
+                        help="chip HBM bandwidth GB/s for the roofline "
+                             "column (819 = TPU v5e)")
     parser.add_argument("--cpu", action="store_true", default=True)
     args = parser.parse_args()
 
@@ -68,23 +71,36 @@ def main():
              for c in step.__closure__ or ()}
     d_prog, g_prog = cells["d_step"], cells["g_step"]
 
-    def report(name, flops, note=""):
+    def report(name, ca, note=""):
+        flops = ca["flops"]
         sol_ms = flops / (args.peak_tflops * 1e12) * 1e3
+        # roofline: the program can go no faster than max(MXU time,
+        # HBM time). XLA's "bytes accessed" counts each operand/result
+        # of each HLO op, i.e. an upper bound that ignores fusion — the
+        # true HBM traffic lies between the post-fusion result bytes
+        # and this number; both bounds are printed.
+        byt = ca.get("bytes accessed", 0.0)
+        bw_ms = byt / (args.hbm_gbps * 1e9) * 1e3
         print(f"{name}: {flops/1e9:.1f} GFLOP  "
               f"speed-of-light {sol_ms:.2f} ms @ {args.peak_tflops:.0f} "
-              f"TFLOP/s bf16 {note}")
+              f"TFLOP/s bf16 | {byt/1e9:.2f} GB accessed (pre-fusion "
+              f"bound) -> {bw_ms:.2f} ms @ {args.hbm_gbps:.0f} GB/s "
+              f"{note}")
 
     lowered_d = d_prog.lower(state, batch)
     ca_d = lowered_d.cost_analysis()
-    report("d_step", ca_d["flops"])
+    report("d_step", ca_d)
 
     out_shapes = jax.eval_shape(lambda s, bt: d_prog(s, bt), state, batch)
     d_out = jax.tree.map(
         lambda sh: jnp.zeros(sh.shape, sh.dtype), out_shapes)
     lowered_g = g_prog.lower(state, batch, *d_out)
     ca_g = lowered_g.cost_analysis()
-    report("g_step", ca_g["flops"])
-    report("train_step total", ca_d["flops"] + ca_g["flops"],
+    report("g_step", ca_g)
+    report("train_step total",
+           {"flops": ca_d["flops"] + ca_g["flops"],
+            "bytes accessed": ca_d.get("bytes accessed", 0.0)
+            + ca_g.get("bytes accessed", 0.0)},
            "(cf. measured device-resident step time)")
 
     # serving forward at a typical frame bucket
