@@ -50,44 +50,132 @@ def _pqmf_filters(
     return h_analysis.astype(np.float32), h_synthesis.astype(np.float32)
 
 
+def _synthesis_ctx_pad(subbands: int, taps: int) -> int:
+    """Band-rate context radius a synthesis output block needs: the 63-tap
+    full-rate filter reaches floor((taps//2 + s - 1)/s) band samples each
+    way; rounded up so the framing slice widths stay lane-aligned."""
+    return -(-(taps // 2 + subbands - 1) // subbands)
+
+
+@functools.lru_cache(maxsize=None)
+def _polyphase_synthesis_basis(
+    subbands: int, taps: int, cutoff_ratio: float, beta: float, group: int
+) -> np.ndarray:
+    """[(group + 2*C)*s, group*s] basis for polyphase PQMF synthesis.
+
+    Row (i*s + b) is band-b input at band-rate context position i (block
+    start minus C); column (j*s + p) is full-rate output sample j*s+p of
+    the block. Entry = s * h_s[b, k] with k the correlation tap offset —
+    exactly the zero-stuff(×s, gain s) + 63-tap conv pipeline
+    (reference `pqmf.py:105-116`), folded into one dense matmul.
+    """
+    s = subbands
+    half = taps // 2
+    c = _synthesis_ctx_pad(s, taps)
+    _, h_s = _pqmf_filters(s, taps, cutoff_ratio, beta)
+    basis = np.zeros(((group + 2 * c) * s, group * s), np.float32)
+    for i in range(group + 2 * c):
+        m_rel = i - c  # band-rate sample index relative to block start
+        for j in range(group):
+            k = (m_rel - j) * s + half
+            for p in range(s):
+                kk = k - p
+                if 0 <= kk <= taps:
+                    basis[i * s : (i + 1) * s, j * s + p] = (
+                        s * h_s[:, kk]
+                    )
+    return basis
+
+
+@functools.lru_cache(maxsize=None)
+def _polyphase_analysis_basis(
+    subbands: int, taps: int, cutoff_ratio: float, beta: float, group: int
+) -> np.ndarray:
+    """[group*s + 2*Cx, group*s] basis for polyphase PQMF analysis.
+
+    Row c is the full-rate input at context position c (block start minus
+    Cx = s*ceil(half/s)); column (j*s + b) is band-b output sample j of the
+    block: entry = h_a[b, c - j*s + half - Cx] — the 63-tap conv +
+    stride-s selection (reference `pqmf.py:95-103`) as one matmul.
+    """
+    s = subbands
+    half = taps // 2
+    cx = s * (-(-half // s))
+    h_a, _ = _pqmf_filters(s, taps, cutoff_ratio, beta)
+    basis = np.zeros((group * s + 2 * cx, group * s), np.float32)
+    for c in range(group * s + 2 * cx):
+        for j in range(group):
+            k = c - j * s + half - cx
+            if 0 <= k <= taps:
+                basis[c, j * s : (j + 1) * s] = h_a[:, k]
+    return basis
+
+
+def _framed_blocks(
+    x_flat: jnp.ndarray, nblk: int, block: int, extra: int
+) -> jnp.ndarray:
+    """[B, (nblk+1)*block] -> [B, nblk, block+extra] overlapping views via
+    two static slices (extra <= block)."""
+    b = x_flat.shape[0]
+    v = x_flat.reshape(b, nblk + 1, block)
+    return jnp.concatenate([v[:, :nblk], v[:, 1:, :extra]], axis=2)
+
+
 class PQMFBank:
     """PQMF analysis/synthesis over [B, T, C] signals.
 
-    analysis:  [B, T, 1] -> [B, T // subbands, subbands]
-    synthesis: [B, T // subbands, subbands] -> [B, T, 1]
+    analysis:  [B, T, 1] -> [B, ceil(T / subbands), subbands]
+    synthesis: [B, T/s, s] -> [B, T, 1]
+
+    Both directions are polyphase group matmuls: the reference's conv
+    pipeline has C_in=1 (analysis) / C_out=1 (synthesis) — 1/128 lane
+    utilization on TPU, in the backward pass too. Grouping `group`
+    band-rate samples per block turns each into a
+    [B, nblk, ctx] @ [ctx, group*s] matmul with ~512 lanes.
     """
+
+    group: int = 128
 
     def __init__(self, subbands: int = 4, taps: int = 62,
                  cutoff_ratio: float = 0.15, beta: float = 9.0):
         self.subbands = subbands
         self.taps = taps
+        self.cutoff_ratio = cutoff_ratio
+        self.beta = beta
         h_a, h_s = _pqmf_filters(subbands, taps, cutoff_ratio, beta)
-        # rhs layout HIO for lax conv: [width, in_ch, out_ch]
+        # kept for introspection/tests; compute path is the basis matmul
         self.analysis_filter = h_a.T[:, None, :]       # [taps+1, 1, subbands]
         self.synthesis_filter = h_s.T[:, :, None]      # [taps+1, subbands, 1]
 
-    def _conv(self, x: jnp.ndarray, w: np.ndarray) -> jnp.ndarray:
-        return jax.lax.conv_general_dilated(
-            x,
-            jnp.asarray(w, x.dtype),
-            window_strides=(1,),
-            padding=((self.taps // 2, self.taps // 2),),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
-
     def analysis(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Split [B, T, 1] into subbands (reference `pqmf.py:95-103`).
-        Downsampling by stride-s selection replaces the reference's
-        identity-conv downsampler."""
-        y = self._conv(x, self.analysis_filter)        # [B, T, subbands]
-        return y[:, :: self.subbands, :]
+        """Split [B, T, 1] into subbands (reference `pqmf.py:95-103`)."""
+        b, t, _ = x.shape
+        s, g = self.subbands, self.group
+        cx = s * (-(-(self.taps // 2) // s))
+        t_out = -(-t // s)
+        nblk = -(-t_out // g)
+        block = g * s
+        pad_r = (nblk + 1) * block - cx - t
+        x_flat = jnp.pad(x[..., 0], ((0, 0), (cx, pad_r)))
+        ctx = _framed_blocks(x_flat, nblk, block, 2 * cx)
+        basis = _polyphase_analysis_basis(
+            s, self.taps, self.cutoff_ratio, self.beta, g)
+        out = jnp.matmul(ctx, jnp.asarray(basis, x.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(b, nblk * g, s)[:, :t_out]
 
     def synthesis(self, x: jnp.ndarray) -> jnp.ndarray:
         """Recombine subbands [B, T/s, s] -> [B, T, 1]
-        (reference `pqmf.py:105-116`). Zero-stuffing ×s with gain s replaces
-        the reference's identity conv_transpose upsampler."""
+        (reference `pqmf.py:105-116`)."""
         b, t, s = x.shape
-        up = jnp.zeros((b, t, s, s), x.dtype)
-        up = up.at[:, :, 0, :].set(x * s)
-        up = up.reshape(b, t * s, s)
-        return self._conv(up, self.synthesis_filter)
+        g = self.group
+        c = _synthesis_ctx_pad(s, self.taps)
+        nblk = -(-t // g)
+        pad_r = (nblk + 1) * g - c - t
+        x_flat = jnp.pad(x, ((0, 0), (c, pad_r), (0, 0))).reshape(b, -1)
+        ctx = _framed_blocks(x_flat, nblk, g * s, 2 * c * s)
+        basis = _polyphase_synthesis_basis(
+            s, self.taps, self.cutoff_ratio, self.beta, g)
+        out = jnp.matmul(ctx, jnp.asarray(basis, x.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(b, nblk * g * s)[:, : t * s, None]

@@ -213,6 +213,102 @@ def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _windowed_idft_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """[2*n_bins, n_fft]: (real‖imag) spectrum row -> windowed time frame."""
+    br, bi = _idft_basis(n_fft)
+    win = _padded_window(win_length, n_fft)
+    return (np.concatenate([br, bi], axis=0) * win).astype(np.float32)
+
+
+def _synthesis_group(n_fft: int, hop: int) -> int:
+    """Frames per blocked-synthesis matmul; 1 = per-frame path.
+
+    Small iSTFT heads (the decoder's n_fft=16, hop=4) are hopeless for
+    per-frame OLA on TPU — the shifted adds run on hop-wide (4-lane)
+    chunks, 1/32 lane utilization, and the backward pass mirrors it.
+    Grouping G frames turns window+scatter+sum into ONE
+    [.., G*2bins] @ [G*2bins, (G-1)*hop+n_fft] matmul whose lane dim is
+    ~G*hop — MXU-shaped both directions. Large-hop iSTFTs (>=64-wide OLA
+    chunks) are already fine on the per-frame path, and their blocked
+    basis would be huge, so they stay unblocked."""
+    if hop > 32 or n_fft > 128:
+        return 1
+    # lane target ~512; never below the r-1 needed for the 2-slice
+    # boundary add (2*G*hop >= (G-1)*hop + n_fft).
+    return max(512 // hop, -(-(n_fft - hop) // hop))
+
+
+@functools.lru_cache(maxsize=None)
+def _blocked_synthesis_basis(
+    n_fft: int, hop: int, win_length: int, group: int
+) -> np.ndarray:
+    """[group*2*n_bins, (group-1)*hop + n_fft]: frame g's windowed-iDFT
+    contribution placed at offset g*hop — OLA folded into the basis."""
+    per = _windowed_idft_basis(n_fft, win_length)  # [2*n_bins, n_fft]
+    nb2 = per.shape[0]
+    width = (group - 1) * hop + n_fft
+    basis = np.zeros((group * nb2, width), np.float32)
+    for g in range(group):
+        basis[g * nb2 : (g + 1) * nb2, g * hop : g * hop + n_fft] = per
+    return basis
+
+
+def istft_riq(
+    riq: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Inverse STFT from frames-last (real‖imag) [B, F, 2*n_bins] -> [B, T],
+    torch.istft semantics (`TorchSTFT.inverse`, reference `stft.py:197-202`).
+
+    This layout is the decoder heads' native one (conv_post emits frames on
+    the time axis), so no bins<->frames transposes are needed; see
+    `_synthesis_group` for why synthesis is a blocked matmul."""
+    b, f, nb2 = riq.shape
+    n_bins = n_fft // 2 + 1
+    assert nb2 == 2 * n_bins, (nb2, n_fft)
+    dtype = riq.dtype
+    total = n_fft + hop_length * (f - 1)
+    group = _synthesis_group(n_fft, hop_length)
+    if group > 1:
+        nblk = -(-f // group)
+        f_pad = nblk * group
+        if f_pad != f:
+            # zero frames contribute zero signal; envelope below uses true f
+            riq = jnp.pad(riq, ((0, 0), (0, f_pad - f), (0, 0)))
+        basis = _blocked_synthesis_basis(n_fft, hop_length, win_length, group)
+        blocks = jnp.matmul(
+            riq.reshape(b, nblk, group * nb2), jnp.asarray(basis, dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, nblk, width]
+        stride = group * hop_length
+        width = basis.shape[1]
+        blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, 2 * stride - width)))
+        chunks = blocks.reshape(b, nblk, 2, stride)
+        acc = jnp.zeros((b, nblk + 1, stride), dtype)
+        acc = acc.at[:, :nblk].add(chunks[:, :, 0])
+        acc = acc.at[:, 1:].add(chunks[:, :, 1])
+        sig = acc.reshape(b, (nblk + 1) * stride)[:, :total]
+    else:
+        basis = _windowed_idft_basis(n_fft, win_length)
+        frames = jnp.matmul(
+            riq, jnp.asarray(basis, dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sig = overlap_add(frames, hop_length)
+    env = _ola_envelope(n_fft, hop_length, win_length, f)
+    tiny = np.finfo(np.float32).tiny
+    env = np.where(env > tiny, env, 1.0)
+    sig = sig / jnp.asarray(env, dtype)
+    if center:
+        p = n_fft // 2
+        sig = sig[:, p : sig.shape[1] - p]
+    return sig
+
+
 def istft(
     magnitude: jnp.ndarray,
     phase: jnp.ndarray,
@@ -230,27 +326,8 @@ def istft(
     assert n_bins == n_fft // 2 + 1, (n_bins, n_fft)
     real = magnitude * jnp.cos(phase)
     imag = magnitude * jnp.sin(phase)
-    br, bi = _idft_basis(n_fft)
-    dtype = magnitude.dtype
-    # [B, F, n_bins] @ [n_bins, n_fft] -> per-frame time signal
-    frames = jnp.matmul(
-        jnp.swapaxes(real, 1, 2), jnp.asarray(br, dtype),
-        precision=jax.lax.Precision.HIGHEST,
-    ) + jnp.matmul(
-        jnp.swapaxes(imag, 1, 2), jnp.asarray(bi, dtype),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    win = jnp.asarray(_padded_window(win_length, n_fft), dtype)
-    frames = frames * win
-    sig = overlap_add(frames, hop_length)
-    env = _ola_envelope(n_fft, hop_length, win_length, f)
-    tiny = np.finfo(np.float32).tiny
-    env = np.where(env > tiny, env, 1.0)
-    sig = sig / jnp.asarray(env, dtype)
-    if center:
-        p = n_fft // 2
-        sig = sig[:, p : sig.shape[1] - p]
-    return sig
+    riq = jnp.swapaxes(jnp.concatenate([real, imag], axis=1), 1, 2)
+    return istft_riq(riq, n_fft, hop_length, win_length, center)
 
 
 class TorchSTFT:
