@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mb_istft_vits_tpu.dsp.pqmf import PQMFBank
-from mb_istft_vits_tpu.dsp.stft import istft
+from mb_istft_vits_tpu.dsp.stft import istft_riq
 from mb_istft_vits_tpu.nn import Conv1d, ConvTranspose1d, ResBlock1, ResBlock2
 from mb_istft_vits_tpu.nn.layers import get_padding, leaky_relu
 
@@ -91,6 +91,15 @@ def _reflection_pad_left1(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x[:, 1:2, :], x], axis=1)
 
 
+def _riq(spec: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+    """mag/phase -> frames-last (real‖imag) on the trailing axis, the
+    native input layout of `istft_riq` — the heads emit frames on the
+    time axis already, so no bins<->frames transposes are needed."""
+    return jnp.concatenate(
+        [spec * jnp.cos(phase), spec * jnp.sin(phase)], axis=-1
+    )
+
+
 class ISTFTGenerator(nn.Module):
     """Single full-band iSTFT head (reference models.py:248-306)."""
 
@@ -124,10 +133,8 @@ class ISTFTGenerator(nn.Module):
         back half, exposed so the serving spec-domain join
         (infer/synthesis.py decode_spec_join) runs the SAME code instead
         of a copy (reference models.py:294-296)."""
-        # istft wants [B, bins, frames]
-        o = istft(jnp.swapaxes(spec, 1, 2), jnp.swapaxes(phase, 1, 2),
-                  self.gen_istft_n_fft, self.gen_istft_hop_size,
-                  self.gen_istft_n_fft)
+        o = istft_riq(_riq(spec, phase), self.gen_istft_n_fft,
+                      self.gen_istft_hop_size, self.gen_istft_n_fft)
         return o[..., None]
 
 
@@ -170,12 +177,9 @@ class _SubbandISTFTBase(nn.Module):
         spec-domain join."""
         n_fft, s = self.gen_istft_n_fft, self.subbands
         b, t = spec.shape[0], spec.shape[1]
-        # batch the bands: [B, T, s, bins] -> [B*s, bins, T]
-        def to_bft(z):
-            return z.transpose(0, 2, 3, 1).reshape(b * s, n_fft // 2 + 1, t)
-
-        y = istft(to_bft(spec), to_bft(phase), n_fft,
-                  self.gen_istft_hop_size, n_fft)  # [B*s, T_wav]
+        # batch the bands: [B, T, s, 2*bins] -> [B*s, T, 2*bins] frames-last
+        riq = _riq(spec, phase).transpose(0, 2, 1, 3).reshape(b * s, t, -1)
+        y = istft_riq(riq, n_fft, self.gen_istft_hop_size, n_fft)
         t_wav = y.shape[-1]
         return y.reshape(b, s, t_wav).transpose(0, 2, 1)  # [B, T_wav, s]
 

@@ -200,6 +200,13 @@ def main():
                              "utils/aot.py serialized executables; "
                              "multi-device: the XLA persistent compilation "
                              "cache under DIR/xla)")
+    parser.add_argument("--boundaries", type=str, default=None,
+                        metavar="F0,F1,...",
+                        help="bucket boundaries in spec frames (default: the "
+                             "reference's 32,300,...,1000, train_latest.py:79"
+                             "-84). Fewer buckets = fewer compiled programs "
+                             "(2 per bucket) at the cost of more padding "
+                             "waste; useful to bound XLA cold-start time")
     parser.add_argument("--debug-nans", action="store_true",
                         help="raise on NaN/Inf in jitted computations "
                              "(the reference's always-on "
@@ -257,9 +264,13 @@ def main():
                                seed=cfg.train.seed,
                                device_spec=not args.host_spec)
     n_hosts = jax.process_count()
+    bucket_kw = {}
+    if args.boundaries:
+        bucket_kw["boundaries"] = [int(v) for v in
+                                   args.boundaries.split(",")]
     batcher = BucketedBatcher(
         dataset, cfg.train.batch_size, num_replicas=n_hosts,
-        rank=jax.process_index(),
+        rank=jax.process_index(), **bucket_kw,
     )
     steps_per_epoch = len(batcher)
     if steps_per_epoch == 0:
