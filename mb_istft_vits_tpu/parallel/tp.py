@@ -22,7 +22,7 @@ collectives:
 - The batch stays sharded over the ``data`` axis (P("data") on dim 0),
   replicated across ``model``.  Gradients are automatically
   psum'ed over ``data`` and kept sharded over ``model``.
-- Optimizer state shards too: `flatten_padded`
+- Optimizer state shards too: `flat_adamw`
   (train/step.py:make_optimizers) concatenates all leaves into one flat
   vector zero-padded to a multiple of lcm(1..16), so the AdamW moment
   vectors (the 2× params_size HBM cost of training) split evenly over
@@ -114,9 +114,9 @@ def param_shardings(params: Any, mesh: Mesh,
 
 def opt_state_shardings(opt_state: Any, mesh: Mesh,
                         axis_name: str = "model") -> Any:
-    """NamedSharding tree for a flatten_padded optimizer state: the flat
+    """NamedSharding tree for a flat_adamw optimizer state: the flat
     1-D moment vectors (mu/nu, padded to divide the axis —
-    train/step.py:flatten_padded) shard over `axis_name`; scalar counts
+    train/step.py:flat_adamw) shard over `axis_name`; scalar counts
     and any non-divisible leaf replicate."""
     axis_size = mesh.shape[axis_name]
 

@@ -97,19 +97,28 @@ def retime_opt_state(opt_state, step: int):
 FLAT_PAD_MULTIPLE = 720720
 
 
-def flatten_padded(inner: optax.GradientTransformation,
-                   multiple: int = FLAT_PAD_MULTIPLE
-                   ) -> optax.GradientTransformation:
-    """optax.flatten with the flat vector zero-padded to `multiple`.
+def flat_adamw(lr_schedule, b1: float, b2: float, eps: float,
+               weight_decay: float, clip_value: Optional[float] = None,
+               multiple: int = FLAT_PAD_MULTIPLE
+               ) -> optax.GradientTransformation:
+    """AdamW whose moment state lives on ONE zero-padded flat vector.
 
-    Runs the inner transform on ONE concatenated vector — a handful of
-    fused kernels instead of ~2000 per-leaf kernels (cuts ~300 MB of
-    generated TPU code) — while keeping the flat length divisible by any
-    tensor-parallel axis so the optimizer state itself can shard
-    (VERDICT.md round-1 weak #5: optax.flatten forced replicated state).
-    The padded tail sees zero grads/params, so AdamW leaves it at exactly
-    zero forever; the real segment's math is bit-identical to
-    optax.flatten's."""
+    Same motivation as optax.flatten: the moment update runs as a
+    handful of fused kernels instead of ~2000 per-leaf kernels (cuts
+    ~300 MB of generated TPU code), and the padded flat length divides
+    any tensor-parallel axis so mu/nu themselves shard
+    (VERDICT.md round-1 weak #5). Unlike wrapping the whole adamw chain
+    in optax.flatten, only `scale_by_adam` runs on the flat vector —
+    the weight-decay + lr scaling, the one part that needs *params*,
+    is applied per-leaf after unflattening, fused by XLA into the
+    per-leaf apply_updates adds. That removes the per-step
+    _flatten(params) concatenation, which the xplane profile priced at
+    ~2 ms/step (concatenate.24 on the 46.7M-param D vector alone is
+    1.1 ms). Math is bit-identical to chain(clip, adamw): update =
+    -lr(count) * (adam(g) + wd * p), count pre-increment like
+    optax.scale_by_schedule.
+    """
+    inner = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
 
     def _flatten(tree):
         leaves = jax.tree.leaves(tree)
@@ -133,9 +142,19 @@ def flatten_padded(inner: optax.GradientTransformation,
         return inner.init(_flatten(params))
 
     def update_fn(updates, state, params=None):
-        flat_p = _flatten(params) if params is not None else None
-        new_flat, new_state = inner.update(_flatten(updates), state, flat_p)
-        return _unflatten(new_flat, updates), new_state
+        assert params is not None, "flat_adamw needs params (weight decay)"
+        flat_g = _flatten(updates)
+        if clip_value is not None:
+            # value clip (reference commons.py:146-161); elementwise, so
+            # flat-vs-per-leaf is identical
+            flat_g = jnp.clip(flat_g, -clip_value, clip_value)
+        adam_flat, new_state = inner.update(flat_g, state)
+        lr = lr_schedule(state.count)  # pre-increment, scale_by_schedule-like
+        adam_u = _unflatten(adam_flat, updates)
+        new_updates = jax.tree.map(
+            lambda u, p: (-lr) * (u + weight_decay * p), adam_u, params
+        )
+        return new_updates, new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -144,13 +163,9 @@ def make_optimizers(cfg: Config):
     lr = make_lr_schedule(cfg)
     b1, b2 = cfg.train.betas
     # torch.optim.AdamW defaults: weight_decay=0.01 (train_latest.py:103-112).
-    tx_g = flatten_padded(optax.chain(
-        optax.clip(cfg.train.grad_clip_value),  # value clip, commons.py:146-161
-        optax.adamw(lr, b1=b1, b2=b2, eps=cfg.train.eps, weight_decay=0.01),
-    ))
-    tx_d = flatten_padded(
-        optax.adamw(lr, b1=b1, b2=b2, eps=cfg.train.eps, weight_decay=0.01)
-    )
+    tx_g = flat_adamw(lr, b1, b2, cfg.train.eps, weight_decay=0.01,
+                      clip_value=cfg.train.grad_clip_value)
+    tx_d = flat_adamw(lr, b1, b2, cfg.train.eps, weight_decay=0.01)
     return tx_g, tx_d
 
 

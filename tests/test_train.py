@@ -174,7 +174,7 @@ def test_train_step_tensor_parallel_2d_mesh(rng):
     assert n_sharded >= 10, n_sharded
 
     # the flat AdamW moment vectors shard over 'model' too
-    # (flatten_padded pads the flat length to divide the axis), and the
+    # (flat_adamw pads the flat length to divide the axis), and the
     # step's output preserves that sharding — the HBM win is end-to-end
     for opt_state in (state2.opt_state_g, state2.opt_state_d):
         flat = [l for l in jax.tree.leaves(opt_state)
