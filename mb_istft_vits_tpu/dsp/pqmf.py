@@ -121,11 +121,47 @@ def _framed_blocks(
     return jnp.concatenate([v[:, :nblk], v[:, 1:, :extra]], axis=2)
 
 
+@functools.lru_cache(maxsize=None)
+def _synthesis_basis_bm(subbands: int, taps: int, cutoff_ratio: float,
+                        beta: float, group: int) -> np.ndarray:
+    """Row-permuted synthesis basis for band-major input: row
+    (b*(group+2c) + i) instead of (i*s + b), so the context blocks can
+    be framed per band from a [B, S, T/S] layout with no 4-lane
+    transpose."""
+    s = subbands
+    c = _synthesis_ctx_pad(s, taps)
+    basis = _polyphase_synthesis_basis(s, taps, cutoff_ratio, beta, group)
+    return np.ascontiguousarray(
+        basis.reshape(group + 2 * c, s, group * s)
+        .transpose(1, 0, 2)
+        .reshape((group + 2 * c) * s, group * s)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _analysis_basis_bm(subbands: int, taps: int, cutoff_ratio: float,
+                       beta: float, group: int) -> np.ndarray:
+    """Column-permuted analysis basis: column (b*group + j) instead of
+    (j*s + b), so a block's output is band-major and the final layout
+    fix is a cheap 128-lane-contiguous block transpose."""
+    s = subbands
+    basis = _polyphase_analysis_basis(s, taps, cutoff_ratio, beta, group)
+    rows = basis.shape[0]
+    return np.ascontiguousarray(
+        basis.reshape(rows, group, s).transpose(0, 2, 1).reshape(rows, -1)
+    )
+
+
 class PQMFBank:
     """PQMF analysis/synthesis over [B, T, C] signals.
 
     analysis:  [B, T, 1] -> [B, ceil(T / subbands), subbands]
     synthesis: [B, T/s, s] -> [B, T, 1]
+    analysis_bm / synthesis_bm: band-major [B, S, T/S] variants — the
+    training-loss path (train/step.py) and the MB decoder head use
+    these so no [*, *, subbands] 4-lane (4/128 lane utilization)
+    elementwise/transpose ops appear anywhere in the G step
+    (VERDICT.md r2 weak #1b).
 
     Both directions are polyphase group matmuls: the reference's conv
     pipeline has C_in=1 (analysis) / C_out=1 (synthesis) — 1/128 lane
@@ -164,6 +200,26 @@ class PQMFBank:
                          precision=jax.lax.Precision.HIGHEST)
         return out.reshape(b, nblk * g, s)[:, :t_out]
 
+    def analysis_bm(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Band-major analysis: [B, T, 1] -> [B, S, ceil(T/S)]."""
+        b, t, _ = x.shape
+        s, g = self.subbands, self.group
+        cx = s * (-(-(self.taps // 2) // s))
+        t_out = -(-t // s)
+        nblk = -(-t_out // g)
+        block = g * s
+        pad_r = (nblk + 1) * block - cx - t
+        x_flat = jnp.pad(x[..., 0], ((0, 0), (cx, pad_r)))
+        ctx = _framed_blocks(x_flat, nblk, block, 2 * cx)
+        basis = _analysis_basis_bm(
+            s, self.taps, self.cutoff_ratio, self.beta, g)
+        out = jnp.matmul(ctx, jnp.asarray(basis, x.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+        # [B, nblk, s, g] -> [B, s, nblk, g]: last dim g=128 contiguous,
+        # a cheap sublane shuffle rather than a 4-lane transpose
+        out = out.reshape(b, nblk, s, g).transpose(0, 2, 1, 3)
+        return out.reshape(b, s, nblk * g)[:, :, :t_out]
+
     def synthesis(self, x: jnp.ndarray) -> jnp.ndarray:
         """Recombine subbands [B, T/s, s] -> [B, T, 1]
         (reference `pqmf.py:105-116`)."""
@@ -175,6 +231,25 @@ class PQMFBank:
         x_flat = jnp.pad(x, ((0, 0), (c, pad_r), (0, 0))).reshape(b, -1)
         ctx = _framed_blocks(x_flat, nblk, g * s, 2 * c * s)
         basis = _polyphase_synthesis_basis(
+            s, self.taps, self.cutoff_ratio, self.beta, g)
+        out = jnp.matmul(ctx, jnp.asarray(basis, x.dtype),
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(b, nblk * g * s)[:, : t * s, None]
+
+    def synthesis_bm(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Band-major synthesis: [B, S, T/S] -> [B, T, 1]."""
+        b, s, t = x.shape
+        g = self.group
+        c = _synthesis_ctx_pad(s, self.taps)
+        nblk = -(-t // g)
+        pad_r = (nblk + 1) * g - c - t
+        x_flat = jnp.pad(x, ((0, 0), (0, 0), (c, pad_r)))
+        ctx = _framed_blocks(x_flat.reshape(b * s, -1), nblk, g, 2 * c)
+        # [B*s, nblk, g+2c] -> [B, nblk, s*(g+2c)] (block transpose over
+        # a (g+2c)~136-contiguous last dim)
+        ctx = ctx.reshape(b, s, nblk, g + 2 * c).transpose(0, 2, 1, 3)
+        ctx = ctx.reshape(b, nblk, s * (g + 2 * c))
+        basis = _synthesis_basis_bm(
             s, self.taps, self.cutoff_ratio, self.beta, g)
         out = jnp.matmul(ctx, jnp.asarray(basis, x.dtype),
                          precision=jax.lax.Precision.HIGHEST)

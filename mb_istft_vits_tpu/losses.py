@@ -107,12 +107,12 @@ def subband_stft_loss(
     win_lengths: Sequence[int],
 ) -> jnp.ndarray:
     """MR-STFT on flattened sub-band signals (reference losses.py:65-70).
-    y_mb, y_hat_mb: [B, T_sub, subbands]."""
-    # [B, T, S] -> [B*S, T] (band-major flatten, matching the reference's
-    # view over [B, S, T])
+    y_mb, y_hat_mb: BAND-MAJOR [B, subbands, T_sub] — the reference's own
+    [B, S, T] layout, so the flatten is a free reshape (no 4-lane
+    transpose in the loss path)."""
     def flat(z):
-        b, t, s = z.shape
-        return z.transpose(0, 2, 1).reshape(b * s, t)
+        b, s, t = z.shape
+        return z.reshape(b * s, t)
 
     y = flat(y_mb)
     y_hat = flat(y_hat_mb)

@@ -22,12 +22,13 @@ collectives:
 - The batch stays sharded over the ``data`` axis (P("data") on dim 0),
   replicated across ``model``.  Gradients are automatically
   psum'ed over ``data`` and kept sharded over ``model``.
-- Optimizer state shards too: `flat_adamw`
-  (train/step.py:make_optimizers) concatenates all leaves into one flat
-  vector zero-padded to a multiple of lcm(1..16), so the AdamW moment
-  vectors (the 2× params_size HBM cost of training) split evenly over
-  the ``model`` axis for any axis size up to 16.  Only scalar `count`
-  leaves stay replicated.
+- Optimizer state shards too: `leaf_adamw`
+  (train/step.py:make_optimizers) keeps per-leaf param-shaped moments,
+  so each mu/nu leaf (the 2× params_size HBM cost of training) takes
+  the SAME partition rule as its parameter — moments live next to the
+  shard they update, with no resharding in the optimizer.  The legacy
+  `flat_adamw` path instead shards its padded flat vectors 1-D over
+  ``model``.  Only scalar `count` leaves stay replicated.
 
 Use `create_2d_mesh` + `shard_train_state_tp` + `shard_batch` (which
 accepts any mesh with a "data" axis) and the existing
@@ -114,17 +115,28 @@ def param_shardings(params: Any, mesh: Mesh,
 
 def opt_state_shardings(opt_state: Any, mesh: Mesh,
                         axis_name: str = "model") -> Any:
-    """NamedSharding tree for a flat_adamw optimizer state: the flat
-    1-D moment vectors (mu/nu, padded to divide the axis —
-    train/step.py:flat_adamw) shard over `axis_name`; scalar counts
-    and any non-divisible leaf replicate."""
+    """NamedSharding tree for an optimizer state.
+
+    leaf_adamw (the default, train/step.py): per-leaf mu/nu are
+    param-shaped, so they take the SAME partition rule as the params —
+    moments live next to their parameter shard and the update needs no
+    resharding. flat_adamw (legacy): its flat 1-D moment vectors
+    (padded to divide any axis <=16) shard over `axis_name`; they are
+    recognized by length >= FLAT_PAD_MULTIPLE. Scalar counts and small
+    1-D leaves (bias moments) replicate, mirroring param_spec."""
+    from mb_istft_vits_tpu.train.step import FLAT_PAD_MULTIPLE
+
     axis_size = mesh.shape[axis_name]
 
     def spec(leaf):
-        if (getattr(leaf, "ndim", 0) == 1 and leaf.shape[0] >= axis_size
+        ndim = getattr(leaf, "ndim", 0)
+        if (ndim == 1 and leaf.shape[0] >= FLAT_PAD_MULTIPLE
                 and leaf.shape[0] % axis_size == 0):
             return NamedSharding(mesh, P(axis_name))
-        return NamedSharding(mesh, P())
+        return NamedSharding(
+            mesh, param_spec(getattr(leaf, "shape", ()), axis_size,
+                             axis_name)
+        )
 
     return jax.tree.map(spec, opt_state)
 

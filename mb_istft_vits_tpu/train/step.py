@@ -159,13 +159,72 @@ def flat_adamw(lr_schedule, b1: float, b2: float, eps: float,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class LeafAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def leaf_adamw(lr_schedule, b1: float, b2: float, eps: float,
+               weight_decay: float, clip_value: Optional[float] = None
+               ) -> optax.GradientTransformation:
+    """AdamW with per-leaf moments and the WHOLE update (clip, moments,
+    bias correction, weight decay, lr) in one tree.map pass.
+
+    Replaces `flat_adamw` as the default: the flat variant pays a
+    per-step `concatenate` of all grads into the flat vector, which the
+    r2 xplane profile priced at ~4-5 ms/step (concatenate.24/25 on the
+    46.7M-param D vector alone = 2.2 ms — VERDICT.md r2 weak #1a). With
+    per-leaf moments the update is one fused elementwise kernel per leaf
+    (G=453, D=111 leaves — far below the r1 program-size cliff, which
+    was caused by optax's *chained* per-leaf transforms multiplying the
+    kernel count). Math is bit-identical to flat_adamw (clip -> adam ->
+    -lr(u + wd*p), lr at pre-increment count), and per-leaf mu/nu
+    inherit the params' tensor-parallel sharding for free
+    (parallel/tp.py) instead of needing the padded-flat trick."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return LeafAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=zeros,
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "leaf_adamw needs params (weight decay)"
+        count_inc = state.count + 1
+        lr = lr_schedule(state.count)  # pre-increment, like flat_adamw
+        bc1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+
+        def leaf(g, mu, nu, p):
+            if clip_value is not None:
+                g = jnp.clip(g, -clip_value, clip_value)
+            mu = b1 * mu + (1.0 - b1) * g
+            nu = b2 * nu + (1.0 - b2) * jnp.square(g)
+            adam = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+            return (-lr) * (adam + weight_decay * p), mu, nu
+
+        out = jax.tree.map(leaf, updates, state.mu, state.nu, params)
+        treedef = jax.tree.structure(updates)
+        new_updates, new_mu, new_nu = (
+            jax.tree.unflatten(treedef, [l[i] for l in jax.tree.leaves(
+                out, is_leaf=lambda x: isinstance(x, tuple))])
+            for i in range(3)
+        )
+        return new_updates, LeafAdamState(count_inc, new_mu, new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizers(cfg: Config):
     lr = make_lr_schedule(cfg)
     b1, b2 = cfg.train.betas
     # torch.optim.AdamW defaults: weight_decay=0.01 (train_latest.py:103-112).
-    tx_g = flat_adamw(lr, b1, b2, cfg.train.eps, weight_decay=0.01,
+    tx_g = leaf_adamw(lr, b1, b2, cfg.train.eps, weight_decay=0.01,
                       clip_value=cfg.train.grad_clip_value)
-    tx_d = flat_adamw(lr, b1, b2, cfg.train.eps, weight_decay=0.01)
+    tx_d = leaf_adamw(lr, b1, b2, cfg.train.eps, weight_decay=0.01)
     return tx_g, tx_d
 
 
@@ -399,7 +458,7 @@ def make_train_step(cfg: Config, synth: Synthesizer,
                 from mb_istft_vits_tpu.dsp.pqmf import PQMFBank
 
                 pqmf = PQMFBank(subbands=cfg.model.subbands)
-                y_mb = pqmf.analysis(y.astype(jnp.float32))
+                y_mb = pqmf.analysis_bm(y.astype(jnp.float32))
                 loss_subband = subband_stft_loss(
                     y_mb, cast32(y_hat_mb), t.fft_sizes, t.hop_sizes,
                     t.win_lengths
@@ -457,4 +516,8 @@ def make_train_step(cfg: Config, synth: Synthesizer,
         return g_step(state, batch, new_params_d, new_opt_d, loss_disc,
                       grad_norm_d, spec)
 
+    # expose the two jitted programs for AOT lowering / compile-only
+    # validation at production shapes (__graft_entry__.dryrun_multichip)
+    train_step.d_step = d_step
+    train_step.g_step = g_step
     return train_step

@@ -17,9 +17,24 @@ import os
 
 
 def apply_env_platform() -> None:
-    """If JAX_PLATFORMS is set, pin it via jax.config before backend init."""
+    """If JAX_PLATFORMS is set, pin it via jax.config before backend init.
+
+    Also enables the XLA persistent compilation cache (repo-local
+    `.jax_cache/cli`, override with MBIV_XLA_CACHE, disable with
+    MBIV_XLA_CACHE=0): every CLI/bench/profile entry point then pays
+    the multi-minute train-program XLA compile once per code change
+    instead of once per process. Runtime measurements are unaffected —
+    the cache only short-circuits compilation."""
+    import jax
+
     platforms = os.environ.get("JAX_PLATFORMS")
     if platforms:
-        import jax
-
         jax.config.update("jax_platforms", platforms)
+    cache = os.environ.get("MBIV_XLA_CACHE", "")
+    if cache != "0":
+        if not cache:
+            cache = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), ".jax_cache", "cli")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -54,9 +54,13 @@ def main():
     print(f"audio: {timings['audio_seconds']:.3f}s  "
           f"synthesis: {timings['total']:.3f}s  "
           f"Real Time Factor: {timings['rtf']:.4f}")
+    # base64 of float32 PCM, preview always printed like the reference
+    # (run_synthesis.py:55-63); full dump behind --print-base64. PyAudio
+    # playback is omitted (no audio device in this environment).
+    b64 = base64.b64encode(audio.astype(np.float32).tobytes()).decode()
+    print(f"Base64 encoded data (first 80 chars): {b64[:80]}...")
     if args.print_base64:
-        pcm = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
-        print(base64.b64encode(pcm.tobytes()).decode())
+        print(b64)
 
 
 if __name__ == "__main__":

@@ -129,6 +129,22 @@ def test_pqmf_reconstruction(rng):
     assert err < 0.08, err
 
 
+def test_pqmf_band_major_parity(rng):
+    """analysis_bm/synthesis_bm (the train-loss / MB-decoder layout,
+    VERDICT r2 weak #1b) are exact layout-permutations of the
+    channels-last pipeline: same math, no [*, *, subbands] 4-lane ops."""
+    bank = PQMFBank(subbands=4, taps=62)
+    y = rng.uniform(-0.8, 0.8, size=(2, 4100, 1)).astype(np.float32)
+    sub = bank.analysis(jnp.asarray(y))            # [B, T/s, s]
+    sub_bm = bank.analysis_bm(jnp.asarray(y))      # [B, s, T/s]
+    np.testing.assert_allclose(
+        np.asarray(sub_bm), np.asarray(sub).transpose(0, 2, 1), atol=1e-6
+    )
+    rec = np.asarray(bank.synthesis(sub))
+    rec_bm = np.asarray(bank.synthesis_bm(sub_bm))
+    np.testing.assert_allclose(rec_bm, rec, atol=1e-6)
+
+
 def test_pqmf_matches_torch_reference_filters(rng):
     """Filter design matches the reference formula (pqmf.py:64-75)."""
     import scipy.signal

