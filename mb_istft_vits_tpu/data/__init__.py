@@ -8,5 +8,6 @@ from mb_istft_vits_tpu.data.dataset import (  # noqa: F401
 )
 from mb_istft_vits_tpu.data.prefetch import (  # noqa: F401
     PrefetchIterator,
+    device_prefetch,
     prefetch_epoch,
 )

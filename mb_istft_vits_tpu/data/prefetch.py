@@ -11,6 +11,7 @@ pinned-buffer DataLoaders do.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -72,3 +73,47 @@ def prefetch_epoch(batcher: BucketedBatcher, epoch: int,
     """Reference DataLoader stand-in: iterate epoch batches with
     `num_workers` loader threads and a bounded prefetch window."""
     return PrefetchIterator(batcher, epoch, num_workers, prefetch_depth)
+
+
+def device_prefetch(batches, put, depth: int = 2):
+    """Double-buffer H2D transfer against the device step.
+
+    Wraps a host-batch iterator so that while the train step runs on
+    batch i, batches i+1..i+depth are already being `put` (device_put /
+    shard_batch — an ASYNC enqueue in JAX) onto the device. Without
+    this, train.py paid the full H2D transfer serially between steps:
+    the realistic host-fed step was ~2.2× the device-resident step on
+    the tunnel runtime (BENCH_NOTES r2 'device-spec feeding';
+    VERDICT.md r2 next #7). The torch reference gets the same overlap
+    from DataLoader pin_memory + CUDA async copies
+    (train_latest.py:85,155-161).
+
+    depth=2 keeps at most two batches resident ahead of the consumer —
+    a bounded window like pinned-buffer DataLoaders (int16 device-spec
+    batches are ~7 MB at the flagship shape, so the HBM cost is noise).
+
+    The put runs on a dedicated thread: on remote-dispatch runtimes
+    `jax.device_put` BLOCKS the calling thread on host-side
+    serialization + transfer RTT, so an in-line lookahead would still
+    serialize feed and compute; a worker thread releases the GIL during
+    the transfer wait and genuinely overlaps it with the main thread's
+    step dispatch.
+    """
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="h2d")
+    buf: collections.deque = collections.deque()
+    it = iter(batches)
+    try:
+        for _ in range(max(1, depth)):
+            try:
+                buf.append(pool.submit(put, next(it)))
+            except StopIteration:
+                break
+        while buf:
+            nxt = buf.popleft().result()
+            try:
+                buf.append(pool.submit(put, next(it)))
+            except StopIteration:
+                pass
+            yield nxt
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -141,6 +141,21 @@ def main():
               f"feed: {nbytes/1e6:.1f} MB/step  "
               f"({nbytes/max(dt_feed,1e-9)/1e9:.2f} GB/s effective)",
               flush=True)
+
+        # same realistic feeding, but through data.device_prefetch — the
+        # double-buffered path train.py actually runs: the H2D enqueue of
+        # batch i+1 overlaps step i's execution
+        from mb_istft_vits_tpu.data import device_prefetch
+
+        batches = (dict(host) for _ in range(args.steps))
+        t0 = time.perf_counter()
+        for sharded in device_prefetch(batches,
+                                       lambda bt: shard_batch(bt, mesh)):
+            state, metrics = step(state, sharded)
+        jax.device_get(metrics["loss/g/total"])
+        dt_db = (time.perf_counter() - t0) / args.steps
+        print(f"step time (host-fed, double-buffered): {dt_db*1e3:.1f} ms",
+              flush=True)
     audio_s = b * t_spec * d.hop_length / d.sampling_rate
     print(f"step time: {dt*1e3:.1f} ms  steps/s: {1/dt:.2f}  "
           f"audio-s trained/s: {audio_s/dt:.1f}  "

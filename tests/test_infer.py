@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # module fixture compiles serving programs
+
 TINY_CONFIG = {
     "train": {
         "log_interval": 10, "eval_interval": 100, "seed": 1234,

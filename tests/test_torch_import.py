@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.slow  # live-torch reference parity (builds full torch models)
+
 import jax
 import jax.numpy as jnp
 
