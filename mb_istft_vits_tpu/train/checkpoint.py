@@ -11,6 +11,7 @@ parity tests.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from typing import Any, Dict, Optional, Tuple
@@ -105,7 +106,32 @@ def load_generator_params(path: str) -> Any:
                 f"nor an orbax checkpoint directory"
             )
         path = os.path.join(path, str(max(steps)))
-    state = _checkpointer().restore(path, target=None)
+    # Target-less restore MUST be forced to host numpy: orbax records the
+    # saving run's device/sharding metadata per leaf, and replaying it
+    # (a) fails outright on a different platform ("Device TPU v5 lite0
+    # was not found in jax.local_devices()") and (b) on a remote-dispatch
+    # runtime turns the restore into ~1800 per-leaf device placements
+    # over the tunnel (observed: serving load hung for 20+ minutes).
+    # The tree structure for the restore_args comes from the step dir's
+    # _METADATA tree_metadata (the public metadata() API of the pytree
+    # handler does not return the item tree); numpy leaves are exactly
+    # what serving wants — it device-puts the params itself.
+    import ast
+
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "_METADATA")) as f:
+        tree_meta = json.load(f)["tree_metadata"]
+    restore_args: Dict[str, Any] = {}
+    for key_str in tree_meta:
+        keypath = ast.literal_eval(key_str)
+        node = restore_args
+        for k in keypath[:-1]:
+            node = node.setdefault(k, {})
+        node[keypath[-1]] = ocp.RestoreArgs(restore_type=np.ndarray)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        state = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     if "params_g" not in state:
         raise KeyError(f"checkpoint at {path} has no params_g "
                        f"(keys: {list(state)})")

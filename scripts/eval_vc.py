@@ -67,6 +67,18 @@ def main():
     d = module.data_cfg
     mc.SR = d.sampling_rate  # the corpus renderer's module-level rate
 
+    # jitted VC forward: eager apply is hundreds of per-op round trips
+    # on the remote-dispatch runtime (minutes per utterance); jitted it
+    # is one dispatch per (spec-length bucket) — pad specs to a bucket
+    # so the handful of val utterances share one compile
+    @jax.jit
+    def vc_fn(params, spec, y_lengths, sid_src, sid_tgt):
+        return module.model.apply(
+            {"params": params}, spec, y_lengths, sid_src, sid_tgt,
+            method=Synthesizer.voice_conversion,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+
     val_list = args.val_list or d.validation_files
     rows = []  # (path, sid, text)
     with open(val_list) as f:
@@ -103,19 +115,23 @@ def main():
         spec = spectrogram(jnp.asarray(wav_src[None, :]), d.filter_length,
                            d.hop_length, d.win_length)
         spec = jnp.swapaxes(spec, 1, 2)
-        y_lengths = jnp.asarray([spec.shape[1]], jnp.int32)
-        o_hat, _, _, _ = module.model.apply(
-            {"params": module.params}, spec, y_lengths,
-            jnp.asarray([src], jnp.int32), jnp.asarray([tgt], jnp.int32),
-            method=Synthesizer.voice_conversion,
-            rngs={"noise": jax.random.PRNGKey(0)},
-        )
-        conv = np.asarray(o_hat[0, :, 0], np.float32)[: len(wav_src)]
+        n_frames = spec.shape[1]
+        bucket = -(-n_frames // 128) * 128  # shared compile per 128-frame pad
+        spec = jnp.pad(spec, ((0, 0), (0, bucket - n_frames), (0, 0)))
+        y_lengths = jnp.asarray([n_frames], jnp.int32)
+        o_hat, _, _, _ = vc_fn(
+            module.params, spec, y_lengths,
+            jnp.asarray([src], jnp.int32), jnp.asarray([tgt], jnp.int32))
+        conv = np.asarray(
+            o_hat[0, : n_frames * d.hop_length, 0], np.float32
+        )[: len(wav_src)]
 
         # ground-truth render: same text, SAME duration seed as the source
-        # wav (utt_id embeds the src sid), target profile's voice
+        # wav. make_corpus seeds render() with utt_id = f"{sid}_{basename}"
+        # INCLUDING the .wav suffix ("0_FJK_C051_029.wav"), so keep it —
+        # a different seed jitters durations and misaligns the reference.
         base = os.path.basename(path)
-        utt_id = base.split("_", 1)[1].rsplit(".", 1)[0]  # e.g. 0_FJK_...
+        utt_id = base.split("_", 1)[1]  # "0_FJK_C051_029.wav"
         f0_t, fs_t = _speaker_profile(tgt)
         gt_tgt = render(txt, utt_id, base_f0=f0_t, formant_scale=fs_t,
                         planner=_plan_jp).astype(np.float32)

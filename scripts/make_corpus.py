@@ -131,16 +131,21 @@ def _noise_band(n: int, center: float, bw: float, rng) -> np.ndarray:
     return _resonator(x, min(center, SR / 2 - 500), bw)
 
 
-def _pulse_train(f0: np.ndarray) -> np.ndarray:
-    """Impulse train from an instantaneous-f0 array (phase accumulator),
-    with a -12 dB/oct glottal tilt (two one-pole lowpasses)."""
-    phase = np.cumsum(f0 / SR)
+def _pulse_train(f0: np.ndarray, phase0: float = 0.0):
+    """Impulse train from an instantaneous-f0 array (phase accumulator
+    starting at `phase0` cycles), with a -12 dB/oct glottal tilt (two
+    one-pole lowpasses). Returns (signal, phase-in-cycles array) so the
+    caller can keep glottal phase CONTINUOUS across segments — a phase
+    reset at every mora boundary (~12/s) destroys the periodicity that
+    pitch trackers (and listeners) rely on."""
+    phase = phase0 + np.cumsum(f0 / SR)
     imp = np.zeros(len(f0))
-    idx = np.searchsorted(phase, np.arange(1, int(phase[-1]) + 1))
+    k0, k1 = int(np.floor(phase0)) + 1, int(np.floor(phase[-1]))
+    idx = np.searchsorted(phase, np.arange(k0, k1 + 1))
     imp[idx[idx < len(imp)]] = 1.0
     for _ in range(2):
         imp = lfilter([0.15], [1.0, -0.85], imp)
-    return imp
+    return imp, phase
 
 
 def _env(n: int, attack: float = 0.008, release: float = 0.015) -> np.ndarray:
@@ -311,6 +316,7 @@ def render(text: str, utt_id: str, base_f0: float = 185.0,
     pos = int(t * SR)
     dur_sum = sum(s.dur for s in segs)
     elapsed = 0.0
+    phase0 = 0.0  # glottal phase in cycles, continuous across segments
     for s in segs:
         n = max(int(s.dur * SR), 8)
         if s.kind == "sil":
@@ -323,29 +329,49 @@ def render(text: str, utt_id: str, base_f0: float = 185.0,
             1.0 + 0.02 * np.sin(2 * np.pi * 3.1 * (elapsed + np.arange(n) / SR))
         )
         if s.kind in ("vowel", "glide", "nasal"):
-            src = _pulse_train(f0)
+            src, phase = _pulse_train(f0, phase0)
+            phase0 = float(phase[-1])
             y = _formant_filter(src, params)
             if s.kind == "nasal":
                 y = lfilter([0.25], [1.0, -0.75], y)  # murmur lowpass
+            # normalize the segment to a speech-like RMS: the formant
+            # filter's passband gain is ~1e-4, so unnormalized vowels sat
+            # ~80 dB below the consonant noise bursts after the global
+            # peak normalization — inaudible vowels, and every pitch
+            # tracker gated them out as silence
+            y *= 0.18 / (np.sqrt(np.mean(y**2)) + 1e-9)
+            # explicit fundamental partial at ~-7 dB vs the segment: real
+            # glottal flow is strongest at f0, but the formant bandpasses
+            # (all >= ~250 Hz) strip it from the impulse train — without
+            # it, pitch trackers (utils/metrics.yin_f0) lock onto
+            # formant-region harmonics on these renders
+            y = y + 0.08 * np.sin(2 * np.pi * phase)
             y *= s.amp
         elif s.kind == "fric":
             center, bw, voiced = params
             y = 0.25 * _noise_band(n, center, bw, rng)
             if voiced:
-                y = 0.6 * y + 0.5 * _formant_filter(
-                    _pulse_train(f0),
+                src, phase = _pulse_train(f0, phase0)
+                phase0 = float(phase[-1])
+                bar = _formant_filter(
+                    src,
                     _scale_formants((300, 1400, 2500), "vowel",
                                     formant_scale))
+                bar *= 0.10 / (np.sqrt(np.mean(bar**2)) + 1e-9)
+                y = 0.6 * y + bar
         else:  # stop: closure then burst
             center, voiced = params
             y = np.zeros(n)
             nb = min(int(0.012 * SR), n)
             y[-nb:] = 0.8 * _noise_band(nb, center, 1800, rng)
             if voiced:
-                y += 0.25 * _formant_filter(
-                    _pulse_train(f0),
+                src, phase = _pulse_train(f0, phase0)
+                phase0 = float(phase[-1])
+                bar = _formant_filter(
+                    src,
                     _scale_formants((250, 1200, 2400), "vowel",
                                     formant_scale))
+                y += 0.08 / (np.sqrt(np.mean(bar**2)) + 1e-9) * bar
         y = y[:n] * _env(n)
         out[pos:pos + n] += y
         pos += n

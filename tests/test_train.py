@@ -110,6 +110,36 @@ def test_train_step_multispeaker(rng):
     assert np.isfinite(float(metrics["loss/g/total"]))
 
 
+def test_leaf_adamw_matches_flat_adamw(rng):
+    """The single-pass per-leaf optimizer (the default) is bit-for-bit
+    the same math as the legacy padded-flat variant: clip -> adam ->
+    -lr(u + wd*p), lr at pre-increment count."""
+    from mb_istft_vits_tpu.train.step import flat_adamw, leaf_adamw
+
+    lr = lambda count: 2e-4 * (0.999875 ** count)  # noqa: E731
+    kw = dict(b1=0.8, b2=0.99, eps=1e-9, weight_decay=0.01,
+              clip_value=500.0)
+    params = {
+        "a": jnp.asarray(rng.randn(7, 3), jnp.float32),
+        "b": {"w": jnp.asarray(rng.randn(11), jnp.float32),
+              "s": jnp.asarray(rng.randn(), jnp.float32)},
+    }
+    tx_f, tx_l = flat_adamw(lr, **kw), leaf_adamw(lr, **kw)
+    pf = pl = params
+    sf, sl = tx_f.init(pf), tx_l.init(pl)
+    for i in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.randn(*p.shape) * 300.0, p.dtype),
+            params)
+        uf, sf = tx_f.update(grads, sf, pf)
+        ul, sl = tx_l.update(grads, sl, pl)
+        pf = jax.tree.map(lambda p, u: p + u, pf, uf)
+        pl = jax.tree.map(lambda p, u: p + u, pl, ul)
+        for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pl)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7, err_msg=str(i))
+
+
 @pytest.mark.slow
 def test_train_step_sdp(rng):
     """use_sdp=true training (VERDICT r2 missing #2): the stochastic

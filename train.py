@@ -142,7 +142,9 @@ def evaluate(cfg, synth, state, writer, global_step, logger, eval_ds):
     x = jnp.asarray(item["x"][None, :])
     x_lengths = jnp.asarray([len(item["x"])], jnp.int32)
     audio_dict = {"gt/audio": item["wav"]}
-    sids = (range(min(cfg.data.n_speakers, 4))
+    # one clip per speaker, like the reference (train_latest.py:299-305);
+    # the jitted infer makes this one dispatch per speaker, not hundreds
+    sids = (range(cfg.data.n_speakers)
             if cfg.data.n_speakers > 1 else [None])
     for s in sids:
         sid = jnp.asarray([s], jnp.int32) if s is not None else None
