@@ -22,7 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
                           "tests")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 0.0: persist EVERY compile, including the hundreds of sub-second
+# per-primitive CPU compiles that eager `model.init`/`apply` go through.
+# Those are the real cost of the fast loop (measured: eager init of the
+# tiny mb_istft model is ~109 s cold and ~18 s with them persisted; the
+# handful of big jitted programs were already cached at the 1.0 s
+# threshold). Disk cost is a few thousand small files under .jax_cache.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
