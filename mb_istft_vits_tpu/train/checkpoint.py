@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -61,6 +62,34 @@ def wait_for_pending_checkpoint() -> None:
     before restoring from the same model dir)."""
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
+
+
+def prune_checkpoints(model_dir: str, keep_last: int = 3,
+                      keep_every: int = 25000) -> list:
+    """Bound a long run's disk footprint: delete ckpt/<step> dirs except
+    the newest `keep_last` and every multiple of `keep_every` (milestone
+    checkpoints a later analysis can restore). A flagship checkpoint is
+    ~0.9 GB (params + both optimizers' moments), so an unbounded
+    200k-step run at eval-interval cadence would write ~10x the disk the
+    reference's G/D .pth pair does (reference keeps every save too, but
+    its utils.py latest_checkpoint_path only ever reads the newest).
+
+    Only finalized step dirs are touched — orbax finalizes via tmp-dir
+    rename, and the newest step (a possibly in-flight async save) is
+    always in the kept set. Returns the pruned step numbers."""
+    root = os.path.join(model_dir, "ckpt")
+    if not os.path.isdir(root):
+        return []
+    steps = sorted(int(d) for d in os.listdir(root) if d.isdigit())
+    keep = set(steps[-keep_last:] if keep_last else [])
+    if keep_every:
+        keep.update(s for s in steps if s % keep_every == 0)
+    pruned = []
+    for s in steps:
+        if s not in keep:
+            shutil.rmtree(os.path.join(root, str(s)), ignore_errors=True)
+            pruned.append(s)
+    return pruned
 
 
 def latest_checkpoint_step(model_dir: str) -> Optional[int]:

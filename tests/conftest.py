@@ -27,8 +27,11 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 # Those are the real cost of the fast loop (measured: eager init of the
 # tiny mb_istft model is ~109 s cold and ~18 s with them persisted; the
 # handful of big jitted programs were already cached at the 1.0 s
-# threshold). Disk cost is a few thousand small files under .jax_cache.
+# threshold). Disk cost is a few thousand small files under .jax_cache,
+# bounded by JAX's LRU eviction below (entries from old JAX/config/model
+# versions age out instead of accumulating forever).
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_compilation_cache_max_size", 512 * 1024 * 1024)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

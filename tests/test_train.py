@@ -341,6 +341,26 @@ def test_async_checkpoint_save(tmp_path):
     assert latest_checkpoint_step(str(tmp_path)) == 9
 
 
+def test_prune_checkpoints(tmp_path):
+    """Long-run disk hygiene: prune keeps the newest `keep_last` steps
+    plus `keep_every` milestones, deletes the rest, and is a no-op on a
+    dir with no ckpt root."""
+    from mb_istft_vits_tpu.train.checkpoint import prune_checkpoints
+
+    assert prune_checkpoints(str(tmp_path)) == []
+    steps = [5000, 10000, 15000, 20000, 25000, 30000, 35000]
+    for s in steps:
+        (tmp_path / "ckpt" / str(s)).mkdir(parents=True)
+    pruned = prune_checkpoints(str(tmp_path), keep_last=3, keep_every=25000)
+    assert pruned == [5000, 10000, 15000, 20000]
+    left = sorted(int(d) for d in (tmp_path / "ckpt").iterdir()
+                  for d in [d.name])
+    assert left == [25000, 30000, 35000]
+    # idempotent
+    assert prune_checkpoints(str(tmp_path), keep_last=3,
+                             keep_every=25000) == []
+
+
 def test_lr_schedule():
     cfg = tiny_config()
     from mb_istft_vits_tpu.train.step import make_lr_schedule

@@ -279,6 +279,7 @@ def main():
     from mb_istft_vits_tpu.train.checkpoint import (
         latest_checkpoint_step,
         load_checkpoint,
+        prune_checkpoints,
         save_checkpoint,
     )
 
@@ -487,6 +488,9 @@ def main():
                 save_checkpoint(model_dir, global_step, state, wait=False)
                 if is_rank0:
                     logger.info("saved checkpoint at %d", global_step)
+                    pruned = prune_checkpoints(model_dir)
+                    if pruned:
+                        logger.info("pruned checkpoints: %s", pruned)
             if preempt_agreed():
                 save_checkpoint(model_dir, global_step, state)
                 if is_rank0:
