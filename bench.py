@@ -19,6 +19,7 @@ weights (RTF is weight-independent), bf16 compute.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -91,19 +92,26 @@ def main():
 
     # --- e2e wall clock (includes tunnel dispatch + D2H per call) ---
     e2e = []
+    split = {"frontend": [], "dispatch": [], "sync": []}
     for i in range(20):
         t0 = time.perf_counter()
-        module.synthesize(text, seed=0)
+        _, t = module.synthesize(text, seed=0)
         e2e.append((time.perf_counter() - t0) / audio_seconds)
+        for k in split:
+            split[k].append(t[k])
 
     # --- device compute: drain a queue of N dispatches, sync once ---
     ids = module.text_to_ids(text)
-    x, x_lengths = module._pad_ids(ids)
+    x, x_lengths = module._pad_ids_cached(ids)
     rng = jax.random.PRNGKey(0)
     fn = module._infer_jit(bucket)
+    # the knobs in the same strong-f32 device-scalar form synthesize()
+    # uses, so this drains the SAME compiled program (a raw Python float
+    # would trace a second, weak-typed variant of the bucket's program)
+    ns, ls, nsw = (module._dev_scalar(v) for v in (0.667, 1.0, 0.8))
 
     def call():
-        out, pcm16 = fn(module.params, x, x_lengths, None, 0.667, 1.0, 0.8,
+        out, pcm16 = fn(module.params, x, x_lengths, None, ns, ls, nsw,
                         rng)
         return pcm16[0]
 
@@ -128,7 +136,7 @@ def main():
 
     rtf_device = float(np.median(device))
     baseline = 0.066  # reference README.md:3 headline
-    print(json.dumps({
+    result = {
         "metric": "inference_rtf_device",
         "value": round(rtf_device, 6),
         "unit": "rtf",
@@ -136,9 +144,59 @@ def main():
         "device_iqr": round(_iqr(device), 6),
         "e2e_median": round(float(np.median(e2e)), 6),
         "e2e_iqr": round(_iqr(e2e), 6),
+        # per-call e2e split medians in SECONDS (not RTF): host text
+        # frontend + input prep / program enqueue / blocking device_get
+        # (device compute + D2H + tunnel RTT)
+        "e2e_split_s": {k: round(float(np.median(v)), 6)
+                        for k, v in split.items()},
         "audio_seconds": round(audio_seconds, 3),
         "runs": {"e2e": len(e2e), "device": f"5x{n}"},
-    }))
+    }
+
+    # --- optional RTF-vs-length sweep (MBIV_BENCH_SWEEP=1) ---
+    # Pins the headline's robustness across the bucket table: short
+    # utterances pay proportionally more dispatch overhead, and the
+    # beyond-bucket-table granule path (arbitrarily long inputs) gets a
+    # timed datapoint. Off by default: fresh buckets pay XLA compiles.
+    if os.environ.get("MBIV_BENCH_SWEEP", "0") == "1":
+        base = ("ðɪs ɪz ɐ tɛst ʌv ðə mʌltibænd ɪnvɜːs ʃɔːɹt taɪm "
+                "fʊɹiɐ tɹænsfɔːɹm sɪstəm. ")
+        cases = {"short": "həlˈoʊ wɜːld.", "headline": text,
+                 "long_4x": base * 6, "xlong_granule": base * 42}
+        sweep = {}
+        for name, txt in cases.items():
+            for _ in range(2):
+                _, t = module.synthesize(txt, seed=0)
+            secs, e2e_i = t["audio_seconds"], []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                module.synthesize(txt, seed=0)
+                e2e_i.append((time.perf_counter() - t0) / secs)
+            ids_i = module.text_to_ids(txt)
+            x_i, xl_i = module._pad_ids_cached(ids_i)
+            fn_i = module._infer_jit(t["frame_bucket"])
+            dev_i = []
+            k = 10
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    _, pcm_i = fn_i(module.params, x_i, xl_i, None,
+                                    module._dev_scalar(0.667),
+                                    module._dev_scalar(1.0),
+                                    module._dev_scalar(0.8),
+                                    jax.random.PRNGKey(0))
+                jax.device_get(pcm_i.ravel()[:1])
+                dev_i.append(
+                    max(time.perf_counter() - t0 - rtt, 0.0) / k / secs)
+            sweep[name] = {
+                "audio_s": round(secs, 2),
+                "frame_bucket": t["frame_bucket"],
+                "rtf_device": round(float(np.median(dev_i)), 6),
+                "rtf_e2e": round(float(np.median(e2e_i)), 6),
+            }
+        result["rtf_by_length"] = sweep
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

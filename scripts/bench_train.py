@@ -36,6 +36,17 @@ def main():
                         help="int16-wav-only feeding with the linear "
                              "spectrogram computed inside the train "
                              "programs (train.py default)")
+    parser.add_argument("--widen", type=int, default=1,
+                        help="multiply the model's channel widths by N — "
+                             "the MFU control experiment: if MFU rises "
+                             "with wider convs, the flagship's MFU "
+                             "ceiling is its conv geometry (channel "
+                             "counts too small to fill the 128x128 MXU), "
+                             "not framework overhead")
+    parser.add_argument("--flops", action="store_true",
+                        help="report XLA cost-analysis FLOPs of the two "
+                             "train programs and the achieved share of "
+                             "197 TFLOP/s bf16 (TPU v5e peak)")
     args = parser.parse_args()
 
     import jax
@@ -50,6 +61,15 @@ def main():
         object.__setattr__(cfg.train, "fp16_run", True)
     if args.batch:
         object.__setattr__(cfg.train, "batch_size", args.batch)
+    if args.widen > 1:
+        w = args.widen
+        m = cfg.model
+        for f in ("inter_channels", "hidden_channels", "filter_channels",
+                  "upsample_initial_channel"):
+            object.__setattr__(m, f, getattr(m, f) * w)
+        print(f"widened x{w}: hidden={m.hidden_channels} "
+              f"inter={m.inter_channels} filter={m.filter_channels} "
+              f"up0={m.upsample_initial_channel}", flush=True)
     b = args.batch or cfg.train.batch_size
     d = cfg.data
     rng = np.random.RandomState(0)
@@ -123,6 +143,28 @@ def main():
         state, metrics = step(state, batch)
     jax.device_get(metrics["loss/g/total"])
     dt = (time.perf_counter() - t0) / args.steps
+
+    if args.flops:
+        # XLA's own cost analysis of the two compiled train programs:
+        # model FLOPs as the compiler sees them (post-fusion), so
+        # achieved/peak is an honest MFU on the arithmetic that actually
+        # runs. 197 TFLOP/s = TPU v5e bf16 peak per chip.
+        try:
+            cells = {getattr(c.cell_contents, "__name__", None):
+                     c.cell_contents for c in step.__closure__ or ()}
+            d_prog, g_prog = cells["d_step"], cells["g_step"]
+            fl = d_prog.lower(state, batch).compile() \
+                       .cost_analysis()["flops"]
+            d_out = jax.eval_shape(d_prog, state, batch)
+            fl += g_prog.lower(state, batch, *d_out).compile() \
+                        .cost_analysis()["flops"]
+            peak = 197e12 if args.bf16 else 197e12 / 2
+            print(f"  cost-analysis FLOPs/step: {fl/1e9:.1f} GF  "
+                  f"achieved: {fl/dt/1e12:.1f} TFLOP/s  "
+                  f"MFU vs {peak/1e12:.0f}T peak: {fl/dt/peak*100:.1f}%",
+                  flush=True)
+        except Exception as e:  # diagnostics only
+            print(f"  (flops analysis unavailable: {e})", flush=True)
 
     if args.feed_host:
         # REALISTIC feeding: a fresh host batch is shard_batch-ed every

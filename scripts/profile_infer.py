@@ -53,23 +53,27 @@ def main():
     print(f"tokens={len(ids)} text_bucket={x.shape[1]}")
     rng = jax.random.PRNGKey(0)
 
+    # knobs in the strong-f32 device-scalar form synthesize() uses, so
+    # these profile the SAME compiled programs (raw floats would trace
+    # weak-typed duplicates)
+    ns, ls, nsw = (module._dev_scalar(v) for v in (0.667, 1.0, 0.8))
     t_probe = timeit(lambda: module._probe_jit_call(
-        x, x_lengths, None, 1.0, 0.8, rng))
-    frames = int(module._probe_jit_call(x, x_lengths, None, 1.0, 0.8,
+        x, x_lengths, None, ls, nsw, rng))
+    frames = int(module._probe_jit_call(x, x_lengths, None, ls, nsw,
                                         rng)[0])
     bucket = _next_bucket(frames, module.FRAME_BUCKETS)
     print(f"frames={frames} bucket={bucket} "
           f"audio={frames * 256 / 22050:.2f}s")
 
     fn = module._infer_jit(bucket)
-    t_infer = timeit(lambda: fn(module.params, x, x_lengths, None, 0.667,
-                                1.0, 0.8, rng))
+    t_infer = timeit(lambda: fn(module.params, x, x_lengths, None, ns,
+                                ls, nsw, rng))
 
     lat = module._latents_jit(bucket)
-    t_lat = timeit(lambda: lat(module.params, x, x_lengths, None, 0.667,
-                               1.0, 0.8, rng))
+    t_lat = timeit(lambda: lat(module.params, x, x_lengths, None, ns,
+                               ls, nsw, rng))
 
-    out, pcm16 = fn(module.params, x, x_lengths, None, 0.667, 1.0, 0.8, rng)
+    out, pcm16 = fn(module.params, x, x_lengths, None, ns, ls, nsw, rng)
     t0 = time.perf_counter()
     for _ in range(20):
         _ = np.asarray(pcm16)  # D2H of the int16 audio
