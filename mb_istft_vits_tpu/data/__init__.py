@@ -11,3 +11,6 @@ from mb_istft_vits_tpu.data.prefetch import (  # noqa: F401
     device_prefetch,
     prefetch_epoch,
 )
+from mb_istft_vits_tpu.data.resident import (  # noqa: F401
+    DeviceResidentFeeder,
+)

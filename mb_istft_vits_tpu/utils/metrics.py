@@ -26,6 +26,22 @@ def _dct_matrix(n_out: int, n_in: int) -> np.ndarray:
     return m
 
 
+_NATS_PER_DB = np.log(10.0) / 20.0  # ln-amplitude nats per dB
+
+
+def _log_mel(wav, sampling_rate, n_fft, hop_length, win_length, n_mels):
+    import jax.numpy as jnp
+
+    from mb_istft_vits_tpu.dsp.mel import mel_spectrogram
+
+    return np.asarray(
+        mel_spectrogram(
+            jnp.asarray(wav[None].astype(np.float32)), n_fft, n_mels,
+            sampling_rate, hop_length, win_length, 0.0, None,
+        )[0]
+    )  # [n_mels, F]; ln-amplitude (reference mel dynamic range)
+
+
 def mel_cepstra(
     wav: np.ndarray,
     sampling_rate: int,
@@ -34,18 +50,20 @@ def mel_cepstra(
     win_length: int = 1024,
     n_mels: int = 80,
     n_cep: int = 13,
+    floor_db: Optional[float] = 60.0,
 ) -> np.ndarray:
-    """Mel cepstra [frames, n_cep] (c0 included) from a mono waveform."""
-    import jax.numpy as jnp
+    """Mel cepstra [frames, n_cep] (c0 included) from a mono waveform.
 
-    from mb_istft_vits_tpu.dsp.mel import mel_spectrogram
-
-    mel = np.asarray(
-        mel_spectrogram(
-            jnp.asarray(wav[None].astype(np.float32)), n_fft, n_mels,
-            sampling_rate, hop_length, win_length, 0.0, None,
-        )[0]
-    )  # [n_mels, F]; already log-compressed (reference mel dynamic range)
+    floor_db clamps the log-mel at (utterance max - floor_db) before the
+    DCT — the standard dynamic-range floor. Without it, bins at the mel
+    clamp (absolute 1e-5) dominate the cepstral distance: a -40 dB
+    broadband noise floor lifts near-silent bins by many nats and reads
+    as ~60 "dB" of MCD, while the literature scale (copy-synthesis MCD
+    4-8 dB) assumes distances driven by speech-band structure."""
+    mel = _log_mel(wav, sampling_rate, n_fft, hop_length, win_length,
+                   n_mels)
+    if floor_db is not None:
+        mel = np.maximum(mel, mel.max() - floor_db * _NATS_PER_DB)
     return (_dct_matrix(n_cep, n_mels) @ mel).T  # [F, n_cep]
 
 
@@ -55,17 +73,39 @@ def mel_cepstral_distortion(
     sampling_rate: int,
     n_cep: int = 13,
     exclude_c0: bool = True,
-    **kwargs,
+    floor_db: Optional[float] = 60.0,
+    exclude_silence: bool = True,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    n_mels: int = 80,
 ) -> float:
     """Frame-averaged MCD in dB between two same-rate waveforms.
 
     MCD = (10 / ln 10) * sqrt(2 * sum_d (c_d - c'_d)^2), mean over frames,
     d >= 1 by convention (c0 is overall energy). Waveforms are truncated to
     the shorter length (the intended use compares two decodes of the same
-    latents, which are already aligned)."""
+    latents, which are already aligned).
+
+    Standard-practice alignment with the published MCD scale: both
+    signals share one dynamic-range floor at (joint max - floor_db), and
+    frames where the FIRST signal (the reference) is entirely at the
+    floor — silence — are excluded. On a self-test this puts
+    GT-vs-GT+noise(40 dB SNR) under ~2 dB where the unfloored metric
+    read ~64 dB (see tests/test_metrics.py calibration anchors)."""
     n = min(len(wav_a), len(wav_b))
-    ca = mel_cepstra(wav_a[:n], sampling_rate, n_cep=n_cep, **kwargs)
-    cb = mel_cepstra(wav_b[:n], sampling_rate, n_cep=n_cep, **kwargs)
+    mels = [_log_mel(np.asarray(w)[:n], sampling_rate, n_fft, hop_length,
+                     win_length, n_mels) for w in (wav_a, wav_b)]
+    if floor_db is not None:
+        floor = max(m.max() for m in mels) - floor_db * _NATS_PER_DB
+        keep = None
+        if exclude_silence:
+            keep = mels[0].max(axis=0) > floor  # ref frame has content
+        mels = [np.maximum(m, floor) for m in mels]
+        if keep is not None and keep.any():
+            mels = [m[:, keep] for m in mels]
+    dct = _dct_matrix(n_cep, n_mels)
+    ca, cb = ((dct @ m).T for m in mels)
     start = 1 if exclude_c0 else 0
     diff = ca[:, start:] - cb[:, start:]
     per_frame = np.sqrt(2.0 * np.sum(diff**2, axis=1))
@@ -196,9 +236,16 @@ def log_spectral_distance(
     n_fft: int = 1024,
     hop_length: int = 256,
     win_length: int = 1024,
+    floor_db: Optional[float] = 60.0,
+    exclude_silence: bool = True,
 ) -> float:
     """Mean log-spectral distance in dB: per frame
-    sqrt(mean_k (10 log10 Pa/Pb)^2), averaged over frames."""
+    sqrt(mean_k (10 log10 Pa/Pb)^2), averaged over frames.
+
+    Same dynamic-range treatment as mel_cepstral_distortion: one shared
+    power floor at (joint max - floor_db) and reference-silent frames
+    excluded, so the number is driven by in-band structure rather than
+    the noise floor of near-empty bins."""
     import jax.numpy as jnp
 
     from mb_istft_vits_tpu.dsp.stft import stft_magnitude
@@ -210,5 +257,12 @@ def log_spectral_distance(
             jnp.asarray(np.asarray(w, np.float32)[None]),
             n_fft, hop_length, win_length))[0]
         mags.append(np.maximum(m.astype(np.float64) ** 2, 1e-20))
+    if floor_db is not None:
+        floor = max(m.max() for m in mags) * 10.0 ** (-floor_db / 10.0)
+        if exclude_silence:
+            keep = mags[0].max(axis=0) > floor
+            if keep.any():
+                mags = [m[:, keep] for m in mags]
+        mags = [np.maximum(m, floor) for m in mags]
     la, lb = (10.0 * np.log10(m) for m in mags)
     return float(np.mean(np.sqrt(np.mean((la - lb) ** 2, axis=0))))

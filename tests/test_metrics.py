@@ -73,8 +73,46 @@ def test_f0_metrics_voicing_error():
 def test_log_spectral_distance():
     a = _tone(220.0)
     assert log_spectral_distance(a, a.copy(), SR) < 1e-6
-    # 6 dB gain = flat 6 dB log-spectral offset (power: 20*log10(2))
-    lsd = log_spectral_distance(a, 2.0 * a, SR)
+    # 6 dB gain = flat 6 dB log-spectral offset (power: 20*log10(2));
+    # exact with the dynamic-range floor disabled. With the default
+    # floor, off-tone bins clamp equal in both signals, so the reading
+    # shrinks (driven by in-band bins only) but stays nonzero.
+    lsd = log_spectral_distance(a, 2.0 * a, SR, floor_db=None)
     assert abs(lsd - 20.0 * np.log10(2.0)) < 0.5, lsd
+    assert 0.0 < log_spectral_distance(a, 2.0 * a, SR) < lsd
     # different content is far apart
     assert log_spectral_distance(a, _tone(880.0), SR) > 5.0
+
+
+def test_mcd_calibration_anchors():
+    """The floored MCD sits on the literature scale: identical -> 0,
+    inaudible noise (40 dB SNR) -> ~1 dB, different content -> tens of
+    dB, and monotonic in noise level. Without the dynamic-range floor
+    the same 40 dB SNR pair reads ~60 'dB' (near-silent mel bins at the
+    absolute clamp dominate) — the floor is what makes copy-synthesis
+    MCD trajectories comparable to published TTS numbers."""
+    from mb_istft_vits_tpu.utils.metrics import mel_cepstral_distortion
+
+    rng = np.random.RandomState(0)
+    t = np.arange(SR) / SR
+    # speech-like: harmonic complex with a formant-ish envelope + pauses
+    a = sum((0.5 ** k) * np.sin(2 * np.pi * 150.0 * (k + 1) * t)
+            for k in range(6)).astype(np.float32)
+    a[: SR // 8] = 0.0
+    a[-SR // 8:] = 0.0
+
+    def noisy(snr_db):
+        n = rng.randn(len(a)).astype(np.float32)
+        n *= np.sqrt((a**2).mean() / (n**2).mean()) * 10 ** (-snr_db / 20)
+        return a + n
+
+    assert mel_cepstral_distortion(a, a.copy(), SR) < 1e-6
+    m40 = mel_cepstral_distortion(a, noisy(40), SR)
+    m20 = mel_cepstral_distortion(a, noisy(20), SR)
+    assert m40 < 3.0, m40
+    assert m40 < m20
+    unfloored = mel_cepstral_distortion(a, noisy(40), SR, floor_db=None,
+                                        exclude_silence=False)
+    assert unfloored > 10.0 * m40  # the floor is what fixes the scale
+    b = _tone(523.25)  # different content entirely
+    assert mel_cepstral_distortion(a, b[: len(a)], SR) > 10.0

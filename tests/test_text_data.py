@@ -228,6 +228,43 @@ def test_device_spec_batches(wav_dataset):
                                    atol=2e-4)
 
 
+def test_device_resident_feeder_matches_host_batches(wav_dataset):
+    """DeviceResidentFeeder (data/resident.py): every batch gathered
+    from the HBM-resident pools must be BIT-identical to the host
+    batcher's — same compiled train programs serve both feeding modes.
+    Covers epoch shuffling and the duplicate-index padding the batcher
+    emits for short buckets."""
+    from mb_istft_vits_tpu.data import DeviceResidentFeeder
+
+    cfg = DataConfig(
+        training_files=wav_dataset, sampling_rate=8000, filter_length=256,
+        hop_length=64, win_length=256, text_module="text_JP",
+        cleaned_text=True, add_blank=True, max_wav_value=32768.0,
+    )
+    ds = TextAudioDataset(wav_dataset, cfg, device_spec=True)
+    batcher = BucketedBatcher(ds, batch_size=2,
+                              boundaries=[16, 128, 256, 512])
+    est = DeviceResidentFeeder.corpus_bytes(batcher)
+    feeder = DeviceResidentFeeder(batcher)
+    assert est > 0
+    for epoch in (0, 1):
+        host = list(batcher.iter_epoch(epoch))
+        dev = list(feeder.iter_epoch(epoch))
+        assert len(host) == len(dev) >= 1
+        for bh, bd in zip(host, dev):
+            assert set(bh) == set(bd)
+            for k in bh:
+                got = np.asarray(bd[k])
+                assert got.dtype == bh[k].dtype, k
+                np.testing.assert_array_equal(got, bh[k], err_msg=k)
+
+    # host-spec datasets are rejected (pools would be f32 spectrograms)
+    ds_h = TextAudioDataset(wav_dataset, cfg)
+    with pytest.raises(ValueError):
+        DeviceResidentFeeder(BucketedBatcher(ds_h, batch_size=2,
+                                             boundaries=[16, 128, 256]))
+
+
 def test_native_audio_loader(wav_dataset, rng):
     """C++ loader (native/audio.cpp): wav parity vs scipy, spectrogram
     parity vs the on-device DSP (reference data_utils.py:78-86 path)."""
