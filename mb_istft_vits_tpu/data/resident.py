@@ -39,8 +39,7 @@ class DeviceResidentFeeder:
     `gather(bucket, indices)` reproduces the host batch bit-for-bit.
     """
 
-    def __init__(self, batcher: BucketedBatcher, sharding=None,
-                 logger=None):
+    def __init__(self, batcher: BucketedBatcher, mesh=None, logger=None):
         import jax
 
         if not batcher.dataset.device_spec:
@@ -48,21 +47,41 @@ class DeviceResidentFeeder:
                 "DeviceResidentFeeder requires device_spec feeding "
                 "(int16 PCM pools; host-spec f32 pools would be 3x the "
                 "bytes)")
+        if jax.process_count() > 1:
+            raise ValueError(
+                "DeviceResidentFeeder is single-process: multi-host "
+                "pools would need per-host partial pools + "
+                "make_array_from_process_local_data assembly (use the "
+                "host-fed prefetch path there)")
         self.batcher = batcher
-        self._sharding = sharding
         # dataset index -> row within its bucket's pool
         self._row_of = np.full(len(batcher.dataset), -1, np.int64)
         self._pools: List[Dict[str, "jax.Array"]] = []
+        pool_sharding = None
+        gather_kw = {}
+        if mesh is not None and mesh.size > 1:
+            # pools replicated across the mesh; the gather emits batches
+            # sharded over 'data' on the batch dim — exactly the layout
+            # shard_batch hands the train step, so the same SPMD
+            # programs consume either feeding mode
+            from mb_istft_vits_tpu.parallel import (
+                batch_sharding,
+                replicated_sharding,
+            )
+
+            pool_sharding = replicated_sharding(mesh)
+            gather_kw["out_shardings"] = batch_sharding(mesh, "data")
         self._gather = jax.jit(
             lambda pool, idx: {k: v[idx] for k, v in pool.items()},
             donate_argnums=(),
+            **gather_kw,
         )
         nbytes = 0
         for bi, bucket in enumerate(batcher.buckets):
             pool = self._build_pool(bi, bucket)
             nbytes += sum(a.nbytes for a in pool.values())
-            if sharding is not None:
-                pool = {k: jax.device_put(v, sharding)
+            if pool_sharding is not None:
+                pool = {k: jax.device_put(v, pool_sharding)
                         for k, v in pool.items()}
             else:
                 pool = {k: jax.device_put(v) for k, v in pool.items()}

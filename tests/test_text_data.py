@@ -265,6 +265,39 @@ def test_device_resident_feeder_matches_host_batches(wav_dataset):
                                              boundaries=[16, 128, 256]))
 
 
+def test_device_resident_feeder_dp_mesh(wav_dataset):
+    """Multi-device data-parallel mesh: pools are replicated, the gather
+    emits batches sharded over 'data' on the batch dim (the layout
+    shard_batch hands the train step), contents still bit-identical."""
+    import jax
+
+    from mb_istft_vits_tpu.data import DeviceResidentFeeder
+    from mb_istft_vits_tpu.parallel import create_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    cfg = DataConfig(
+        training_files=wav_dataset, sampling_rate=8000, filter_length=256,
+        hop_length=64, win_length=256, text_module="text_JP",
+        cleaned_text=True, add_blank=True, max_wav_value=32768.0,
+    )
+    ds = TextAudioDataset(wav_dataset, cfg, device_spec=True)
+    batcher = BucketedBatcher(ds, batch_size=jax.device_count(),
+                              boundaries=[16, 128, 256, 512])
+    mesh = create_mesh()
+    feeder = DeviceResidentFeeder(batcher, mesh=mesh)
+    host = list(batcher.iter_epoch(0))
+    dev = list(feeder.iter_epoch(0))
+    assert len(host) == len(dev) >= 1
+    for bh, bd in zip(host, dev):
+        for k in bh:
+            arr = bd[k]
+            assert "data" in getattr(arr.sharding, "spec", ())[0:1] or \
+                arr.sharding.spec[0] == "data", (k, arr.sharding)
+            np.testing.assert_array_equal(np.asarray(arr), bh[k],
+                                          err_msg=k)
+
+
 def test_native_audio_loader(wav_dataset, rng):
     """C++ loader (native/audio.cpp): wav parity vs scipy, spectrogram
     parity vs the on-device DSP (reference data_utils.py:78-86 path)."""

@@ -348,7 +348,8 @@ def main():
             est = DeviceResidentFeeder.corpus_bytes(batcher)
             logger.info("device-resident corpus: uploading ~%.2f GB of "
                         "bucket-padded pools to HBM", est / 1e9)
-            feeder = DeviceResidentFeeder(batcher, logger=logger)
+            feeder = DeviceResidentFeeder(batcher, mesh=mesh,
+                                          logger=logger)
     first_batch = next(batcher.iter_epoch(0))
     state, synth, disc = create_train_state(
         cfg, jax.random.PRNGKey(cfg.train.seed),
