@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Offline copy-synthesis evaluation of a checkpoint over a filelist.
+
+The train loop's periodic eval scores ONE validation utterance
+(train.py:evaluate); this script scores N of them from any checkpoint —
+orbax model dir / ckpt step dir, or a reference `.pth` — so milestone
+checkpoints (the 25k-step multiples the pruner keeps) get a
+variance-bearing quality readout: per-utterance copy-synthesis MCD /
+LSD / F0-RMSE / voicing-decision-error, reported as mean +/- std with
+the worst utterance named.
+
+Copy-synthesis = posterior-encode the ground-truth spectrogram and
+decode (Synthesizer.reconstruct) — time-aligned with the ground truth,
+so the metrics are well-defined without DTW (the reference logs
+TensorBoard audio only; SURVEY.md section 4).
+
+Usage:
+  python scripts/eval_checkpoint.py -c CONFIG -k CHECKPOINT \
+      [-f FILELIST] [-n 16] [--sid-col] [--out JSON]
+FILELIST defaults to the config's validation_files. Static shapes: specs
+are bucketed to the next multiple of 64 frames, one compile per bucket.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from mb_istft_vits_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-k", "--checkpoint", required=True)
+    ap.add_argument("-f", "--filelist", default=None)
+    ap.add_argument("-n", "--num", type=int, default=16)
+    ap.add_argument("--out", default=None, help="write full JSON here")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mb_istft_vits_tpu.config import Config
+    from mb_istft_vits_tpu.data import TextAudioDataset
+    from mb_istft_vits_tpu.dsp import spectrogram
+    from mb_istft_vits_tpu.models import Synthesizer
+    from mb_istft_vits_tpu.train.checkpoint import load_generator_params
+    from mb_istft_vits_tpu.utils.metrics import (
+        f0_metrics,
+        log_spectral_distance,
+        mel_cepstral_distortion,
+    )
+
+    cfg = Config.from_json(args.config)
+    d = cfg.data
+    filelist = args.filelist or d.validation_files
+    ds = TextAudioDataset(filelist, d, device_spec=True)
+    n = min(args.num, len(ds))
+
+    params = load_generator_params(args.checkpoint)
+    synth = Synthesizer(cfg.model)
+
+    @jax.jit
+    def recon_fn(spec, spec_lengths, sid, rng):
+        out, _ = synth.apply(
+            {"params": params}, spec, spec_lengths, sid=sid,
+            method=Synthesizer.reconstruct, rngs={"noise": rng},
+        )
+        return out
+
+    multi = d.n_speakers > 1
+    rows = []
+    for i in range(n):
+        item = ds[i]
+        gt = np.asarray(item["wav"], np.float32).reshape(-1)
+        spec = spectrogram(
+            jnp.asarray(gt[None]), d.filter_length, d.hop_length,
+            d.win_length,
+        ).transpose(0, 2, 1)  # [1, F, bins]
+        f = spec.shape[1]
+        fpad = -(-f // 64) * 64  # static bucket: one compile per 64-frame step
+        spec = jnp.pad(spec, ((0, 0), (0, fpad - f), (0, 0)))
+        sid = (jnp.asarray([item.get("sid", 0)], jnp.int32) if multi
+               else None)
+        out = recon_fn(spec, jnp.asarray([f], jnp.int32), sid,
+                       jax.random.PRNGKey(i))
+        recon = np.asarray(out[0, : f * d.hop_length, 0], np.float32)
+        sr = d.sampling_rate
+        row = {
+            "i": i,
+            "audio_s": round(len(gt) / sr, 2),
+            "mcd": mel_cepstral_distortion(
+                gt, recon, sr, n_fft=d.filter_length,
+                hop_length=d.hop_length, win_length=d.win_length,
+                n_mels=min(d.n_mel_channels, d.filter_length // 2 + 1)),
+            "lsd": log_spectral_distance(
+                gt, recon, sr, n_fft=d.filter_length,
+                hop_length=d.hop_length, win_length=d.win_length),
+        }
+        if len(gt) >= 4096:
+            m = f0_metrics(gt, recon, sr)
+            row["f0_rmse_hz"] = m["f0_rmse_hz"]
+            row["vde"] = m["voicing_decision_error"]
+        rows.append(row)
+        print(f"[{i+1}/{n}] mcd={row['mcd']:.2f} lsd={row['lsd']:.2f} "
+              f"({row['audio_s']}s)", flush=True)
+
+    def agg(key):
+        v = [r[key] for r in rows if key in r]
+        return {"mean": round(float(np.mean(v)), 3),
+                "std": round(float(np.std(v)), 3),
+                "max": round(float(np.max(v)), 3)} if v else None
+
+    worst = max(rows, key=lambda r: r["mcd"])
+    summary = {
+        "checkpoint": args.checkpoint,
+        "n_utts": n,
+        "mcd": agg("mcd"),
+        "lsd": agg("lsd"),
+        "f0_rmse_hz": agg("f0_rmse_hz"),
+        "vde": agg("vde"),
+        "worst_utt": {"i": worst["i"], "mcd": round(worst["mcd"], 3)},
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump({"summary": summary, "rows": rows}, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
