@@ -300,6 +300,29 @@ class BucketedBatcher:
             batches = [batches[i] for i in order]
         return batches
 
+    def epoch_batches_global(self, epoch: int
+                             ) -> List[Tuple[int, List[int]]]:
+        """The GLOBAL batch sequence: batch j is every rank's j-th chunk
+        concatenated in rank order — rows [r*B:(r+1)*B] are exactly what
+        rank r's `epoch_batches(epoch)[j]` holds, matching the row
+        placement `shard_batch` gives process-local data under SPMD.
+        Every process can compute this identically (the per-rank shuffles
+        are epoch-seeded), which is what a multi-host device-resident
+        gather needs: one identical index vector per step on all hosts.
+        """
+        per_rank = []
+        for r in range(self.num_replicas):
+            view = BucketedBatcher.__new__(BucketedBatcher)
+            view.__dict__.update(self.__dict__)
+            view.rank = r
+            per_rank.append(view.epoch_batches(epoch))
+        out = []
+        for j in range(len(per_rank[0])):
+            bi = per_rank[0][j][0]
+            assert all(pr[j][0] == bi for pr in per_rank)
+            out.append((bi, [i for pr in per_rank for i in pr[j][1]]))
+        return out
+
     def pad_shape(self, bucket_idx: int) -> Tuple[int, int]:
         """(max text len, max spec frames) — static per bucket."""
         return self.text_cap, self.boundaries[bucket_idx + 1]

@@ -37,6 +37,8 @@ class DeviceResidentFeeder:
     — the f32 host-spec mode would triple the pool bytes for no reason).
     Pool rows are padded exactly like `make_batch` pads batch rows, so
     `gather(bucket, indices)` reproduces the host batch bit-for-bit.
+    Works single-device, on DP meshes, and multi-host (pools replicated
+    per host, one global index stream — see `iter_epoch`).
     """
 
     def __init__(self, batcher: BucketedBatcher, mesh=None, logger=None):
@@ -47,23 +49,27 @@ class DeviceResidentFeeder:
                 "DeviceResidentFeeder requires device_spec feeding "
                 "(int16 PCM pools; host-spec f32 pools would be 3x the "
                 "bytes)")
-        if jax.process_count() > 1:
+        self._multihost = jax.process_count() > 1
+        if self._multihost and mesh is None:
             raise ValueError(
-                "DeviceResidentFeeder is single-process: multi-host "
-                "pools would need per-host partial pools + "
-                "make_array_from_process_local_data assembly (use the "
-                "host-fed prefetch path there)")
+                "multi-host DeviceResidentFeeder needs the global mesh")
         self.batcher = batcher
         # dataset index -> row within its bucket's pool
         self._row_of = np.full(len(batcher.dataset), -1, np.int64)
         self._pools: List[Dict[str, "jax.Array"]] = []
         pool_sharding = None
+        put = jax.device_put
         gather_kw = {}
         if mesh is not None and mesh.size > 1:
             # pools replicated across the mesh; the gather emits batches
             # sharded over 'data' on the batch dim — exactly the layout
             # shard_batch hands the train step, so the same SPMD
-            # programs consume either feeding mode
+            # programs consume either feeding mode. Multi-host: every
+            # process uploads the same full pools (replicated arrays are
+            # built from identical per-process data) and gathers with an
+            # identical global index vector (epoch_batches_global), so
+            # each host's devices read their batch rows from local HBM —
+            # no input bytes ever cross hosts.
             from mb_istft_vits_tpu.parallel import (
                 batch_sharding,
                 replicated_sharding,
@@ -71,6 +77,10 @@ class DeviceResidentFeeder:
 
             pool_sharding = replicated_sharding(mesh)
             gather_kw["out_shardings"] = batch_sharding(mesh, "data")
+            if self._multihost:
+                def put(v, s=None):
+                    return jax.make_array_from_process_local_data(
+                        pool_sharding, v)
         self._gather = jax.jit(
             lambda pool, idx: {k: v[idx] for k, v in pool.items()},
             donate_argnums=(),
@@ -81,10 +91,9 @@ class DeviceResidentFeeder:
             pool = self._build_pool(bi, bucket)
             nbytes += sum(a.nbytes for a in pool.values())
             if pool_sharding is not None:
-                pool = {k: jax.device_put(v, pool_sharding)
-                        for k, v in pool.items()}
+                pool = {k: put(v, pool_sharding) for k, v in pool.items()}
             else:
-                pool = {k: jax.device_put(v) for k, v in pool.items()}
+                pool = {k: put(v) for k, v in pool.items()}
             self._pools.append(pool)
         # block until the upload lands so training doesn't race the copy
         jax.block_until_ready([a for p in self._pools for a in p.values()])
@@ -139,8 +148,16 @@ class DeviceResidentFeeder:
                             rows.astype(np.int32))
 
     def iter_epoch(self, epoch: int):
-        """Device-resident analog of `BucketedBatcher.iter_epoch`."""
-        for bucket_idx, indices in self.batcher.epoch_batches(epoch):
+        """Device-resident analog of `BucketedBatcher.iter_epoch`.
+
+        Multi-host: every process iterates the identical GLOBAL batch
+        sequence (epoch_batches_global) — the jitted gather is one SPMD
+        program all hosts enter with the same index vector, and each
+        host's output shard holds exactly the rows its rank's
+        `epoch_batches` slice would have fed via shard_batch."""
+        plan = (self.batcher.epoch_batches_global(epoch)
+                if self._multihost else self.batcher.epoch_batches(epoch))
+        for bucket_idx, indices in plan:
             yield self.gather(bucket_idx, indices)
 
     @staticmethod

@@ -56,6 +56,50 @@ def main() -> None:
     flags = multihost_utils.process_allgather(local_flag)
     agreed = bool(np.max(flags))
     assert agreed, (pid, flags)
+
+    # multi-host device-resident feeding: both hosts build identical
+    # replicated pools from a shared tiny wav dataset and iterate the
+    # global index stream; each host's addressable output shard must
+    # equal the rows its rank's host-fed epoch_batches slice would carry
+    data_dir = os.environ.get("MBIV_MH_DATA")
+    if data_dir:
+        from mb_istft_vits_tpu.config import DataConfig
+        from mb_istft_vits_tpu.data import (
+            BucketedBatcher,
+            DeviceResidentFeeder,
+            TextAudioDataset,
+        )
+
+        filelist = os.path.join(data_dir, "train.txt")
+        cfg = DataConfig(
+            training_files=filelist, sampling_rate=8000,
+            filter_length=256, hop_length=64, win_length=256,
+            text_module="text_JP", cleaned_text=True, add_blank=True,
+            max_wav_value=32768.0,
+        )
+        ds = TextAudioDataset(filelist, cfg, device_spec=True)
+        batcher = BucketedBatcher(ds, batch_size=2, num_replicas=2,
+                                  rank=pid, boundaries=[16, 128, 256, 512])
+        feeder = DeviceResidentFeeder(batcher, mesh=mesh)
+        host_batches = list(batcher.iter_epoch(0))
+        n_checked = 0
+        for bh, bd in zip(host_batches, feeder.iter_epoch(0)):
+            for k, v in bh.items():
+                arr = bd[k]
+                # this host's rows of the global array, in shard order
+                shards = sorted(
+                    (s for s in arr.addressable_shards),
+                    key=lambda s: s.index[0].start or 0)
+                local_rows = np.concatenate(
+                    [np.asarray(s.data) for s in shards])
+                lo = pid * len(v)
+                assert local_rows.shape == v.shape, (k, local_rows.shape)
+                np.testing.assert_array_equal(local_rows, v, err_msg=k)
+                del lo
+                n_checked += 1
+        assert n_checked > 0
+        print(f"proc {pid}: resident ok ({n_checked} arrays)", flush=True)
+
     print(f"proc {pid}: ok global_mean={got} preempt_agreed={agreed}",
           flush=True)
 

@@ -25,7 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_global_batch():
+def test_two_process_global_batch(tmp_path):
     port = _free_port()
     here = os.path.dirname(__file__)
     worker = os.path.join(here, "multihost_worker.py")
@@ -33,6 +33,22 @@ def test_two_process_global_batch():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+
+    # shared tiny wav dataset for the multi-host resident-feeder check
+    import numpy as np
+    from scipy.io.wavfile import write as wav_write
+
+    rng = np.random.RandomState(0)
+    rows = []
+    texts = ["k o N n i t i w a", "a i u e o k a k i",
+             "t o: ky o: n i i k u", "s a y o: n a r a"]
+    for i, n in enumerate([4000, 6000, 9000, 12000]):
+        p = tmp_path / f"utt{i}.wav"
+        wav_write(p, 8000,
+                  (rng.uniform(-0.3, 0.3, n) * 32767).astype(np.int16))
+        rows.append(f"{p}|{texts[i]}")
+    (tmp_path / "train.txt").write_text("\n".join(rows), encoding="utf-8")
+    env["MBIV_MH_DATA"] = str(tmp_path)
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(port), str(pid)],
@@ -60,3 +76,5 @@ def test_two_process_global_batch():
         pytest.skip(f"CPU cross-process collectives unavailable:\n{joined}")
     assert not failed, joined
     assert "proc 0: ok" in joined and "proc 1: ok" in joined, joined
+    assert ("proc 0: resident ok" in joined
+            and "proc 1: resident ok" in joined), joined

@@ -265,6 +265,30 @@ def test_device_resident_feeder_matches_host_batches(wav_dataset):
                                              boundaries=[16, 128, 256]))
 
 
+def test_epoch_batches_global_matches_rank_slices(wav_dataset):
+    """epoch_batches_global row-blocks must equal each rank's strided
+    epoch_batches — the contract that lets every host of a multi-host
+    resident feeder compute one identical global index stream."""
+    cfg = DataConfig(
+        training_files=wav_dataset, sampling_rate=8000, filter_length=256,
+        hop_length=64, win_length=256, text_module="text_JP",
+        cleaned_text=True, add_blank=True, max_wav_value=32768.0,
+    )
+    ds = TextAudioDataset(wav_dataset, cfg, device_spec=True)
+    R, B = 2, 1
+    ranks = [BucketedBatcher(ds, batch_size=B, num_replicas=R, rank=r,
+                             boundaries=[16, 128, 256, 512])
+             for r in range(R)]
+    glob = ranks[0].epoch_batches_global(epoch=5)
+    per_rank = [rk.epoch_batches(5) for rk in ranks]
+    assert len(glob) == len(per_rank[0]) == len(per_rank[1]) >= 1
+    for j, (bi, rows) in enumerate(glob):
+        assert len(rows) == R * B
+        for r in range(R):
+            assert per_rank[r][j][0] == bi
+            assert rows[r * B:(r + 1) * B] == per_rank[r][j][1]
+
+
 def test_device_resident_feeder_dp_mesh(wav_dataset):
     """Multi-device data-parallel mesh: pools are replicated, the gather
     emits batches sharded over 'data' on the batch dim (the layout

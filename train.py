@@ -253,8 +253,10 @@ def main():
                              "step. Removes the feed-bandwidth ceiling "
                              "entirely for corpora that fit HBM "
                              "(int16 PCM: ~0.16 GB/h at 22.05 kHz). "
-                             "Single-process runs only; implies the "
-                             "default device-spec feeding")
+                             "Implies the default device-spec feeding; "
+                             "multi-host runs replicate the pools per "
+                             "host and gather with a global index "
+                             "vector (no input bytes cross hosts)")
     args = parser.parse_args()
 
     from mb_istft_vits_tpu.utils.platform import apply_env_platform
@@ -338,10 +340,10 @@ def main():
     mesh = create_mesh()
     feeder = None
     if args.device_resident:
-        if args.host_spec or n_hosts > 1:
+        if args.host_spec:
             logger.warning(
-                "--device-resident requires device-spec feeding and a "
-                "single process — falling back to host feeding")
+                "--device-resident requires device-spec feeding — "
+                "falling back to host feeding")
         else:
             from mb_istft_vits_tpu.data import DeviceResidentFeeder
 
