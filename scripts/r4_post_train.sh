@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-4 post-training chip session: runs the bench/drive queue
+# back-to-back once the deep run has released the chip. Each step is
+# timeout-bounded so a wedged tunnel can't stall the whole queue; all
+# output lands in /tmp/r4/*.log.
+set -u
+cd /root/repo
+mkdir -p /tmp/r4
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a /tmp/r4/queue.log
+  timeout "$to" "$@" > "/tmp/r4/$name.log" 2>&1
+  echo "=== $name exit=$? ($(date +%H:%M:%S)) ===" | tee -a /tmp/r4/queue.log
+}
+
+# 1. headline bench + e2e split (VERDICT #5) — ~5 min warm cache
+run bench 1200 python bench.py
+
+# 2. RTF-vs-length sweep (VERDICT #8) — fresh buckets pay compiles
+run bench_sweep 3600 env MBIV_BENCH_SWEEP=1 python bench.py
+
+# 3. exported-artifact serving vs live (VERDICT #9)
+run bench_export 2400 python scripts/bench_export.py
+
+# 4. MFU: flagship b32 bf16 + cost-analysis MFU (VERDICT #2 baseline)
+run mfu_base 2400 python scripts/bench_train.py --batch 32 --steps 30 \
+    --bf16 --device-spec --flops
+# 5. MFU control: widened channels x2 / x4 (VERDICT #2)
+run mfu_w2 3000 python scripts/bench_train.py --batch 32 --steps 30 \
+    --bf16 --device-spec --flops --widen 2
+run mfu_w4 3600 python scripts/bench_train.py --batch 32 --steps 30 \
+    --bf16 --device-spec --flops --widen 4
+
+# 6. host-fed vs double-buffered vs device-resident context (VERDICT r2 #7)
+run feed_host 2400 python scripts/bench_train.py --batch 32 --steps 30 \
+    --bf16 --device-spec --feed-host
+
+# 7. SDP chip drive: continue logs/ljs_sdp_r3 300 -> 1300 steps with
+#    device-resident feeding (VERDICT #3); AOT avals differ from the
+#    host-fed r3 cache, so this pays its own compiles once
+run sdp_drive 5400 python train.py -c logs/ljs_sdp_r3/config.json \
+    -m ljs_sdp_r3 --max-steps 1300 --aot-cache .aot/ljs_sdp \
+    --device-resident
+
+echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a /tmp/r4/queue.log
