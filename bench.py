@@ -161,8 +161,12 @@ def main():
     if os.environ.get("MBIV_BENCH_SWEEP", "0") == "1":
         base = ("ðɪs ɪz ɐ tɛst ʌv ðə mʌltibænd ɪnvɜːs ʃɔːɹt taɪm "
                 "fʊɹiɐ tɹænsfɔːɹm sɪstəm. ")
+        # xlong: ~2700 tokens -> ~9k frames, past the bucket table into
+        # the granule path (kept under ~3k tokens: the rel-pos attention
+        # materializes [1, H, T, T] intermediates, and the true
+        # MAX_FRAMES=16384 shape would hold ~370 MB per buffer)
         cases = {"short": "həlˈoʊ wɜːld.", "headline": text,
-                 "long_4x": base * 6, "xlong_granule": base * 42}
+                 "long_4x": base * 6, "xlong_granule": base * 24}
         sweep = {}
         for name, txt in cases.items():
             for _ in range(2):
