@@ -42,6 +42,10 @@ def main():
     ap.add_argument("-f", "--filelist", default=None)
     ap.add_argument("-n", "--num", type=int, default=16)
     ap.add_argument("--out", default=None, help="write full JSON here")
+    ap.add_argument("--bands", action="store_true",
+                    help="also report LSD per frequency quartile "
+                         "(0-25/25-50/50-75/75-100%% of Nyquist) — "
+                         "locates WHERE the residual error lives")
     args = ap.parse_args()
 
     import jax
@@ -108,6 +112,22 @@ def main():
             m = f0_metrics(gt, recon, sr)
             row["f0_rmse_hz"] = m["f0_rmse_hz"]
             row["vde"] = m["voicing_decision_error"]
+        if args.bands:
+            from mb_istft_vits_tpu.dsp.stft import stft_magnitude
+
+            mags = [np.maximum(np.asarray(stft_magnitude(
+                jnp.asarray(w[None].astype(np.float32)), d.filter_length,
+                d.hop_length, d.win_length))[0].astype(np.float64) ** 2,
+                1e-20) for w in (gt, recon[: len(gt)])]
+            floor = max(m2.max() for m2 in mags) * 1e-6  # top 60 dB
+            keep = mags[0].max(axis=0) > floor
+            mags = [np.maximum(m2[:, keep], floor) for m2 in mags]
+            nb = mags[0].shape[0]
+            for q in range(4):
+                sl = slice(q * nb // 4, (q + 1) * nb // 4)
+                la, lb = (10.0 * np.log10(m2[sl]) for m2 in mags)
+                row[f"lsd_q{q}"] = round(float(np.mean(np.sqrt(np.mean(
+                    (la - lb) ** 2, axis=0)))), 3)
         rows.append(row)
         print(f"[{i+1}/{n}] mcd={row['mcd']:.2f} lsd={row['lsd']:.2f} "
               f"({row['audio_s']}s)", flush=True)
@@ -128,6 +148,9 @@ def main():
         "vde": agg("vde"),
         "worst_utt": {"i": worst["i"], "mcd": round(worst["mcd"], 3)},
     }
+    if args.bands:
+        summary["lsd_bands"] = {f"q{q}": agg(f"lsd_q{q}")["mean"]
+                                for q in range(4)}
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as fh:
