@@ -36,6 +36,18 @@ run mfu_w4 3600 python scripts/bench_train.py --batch 32 --steps 30 \
 run feed_host 2400 python scripts/bench_train.py --batch 32 --steps 30 \
     --bf16 --device-spec --feed-host
 
+# 6b. milestone quality: 16-utterance copy-synthesis at 25k/100k/200k
+#     (shared .jax_cache/cli makes the bucket compiles one-time)
+run eval_25k 2400 python scripts/eval_checkpoint.py \
+    -c .corpus/ljs/config.json -k logs/ljs_deep_r4/ckpt/25000 -n 16 \
+    --bands --out /tmp/r4/eval_25k.json
+run eval_100k 1200 python scripts/eval_checkpoint.py \
+    -c .corpus/ljs/config.json -k logs/ljs_deep_r4/ckpt/100000 -n 16 \
+    --bands --out /tmp/r4/eval_100k.json
+run eval_final 1200 python scripts/eval_checkpoint.py \
+    -c .corpus/ljs/config.json -k logs/ljs_deep_r4 -n 16 \
+    --bands --out /tmp/r4/eval_final.json
+
 # 7. SDP chip drive: continue logs/ljs_sdp_r3 300 -> 1300 steps with
 #    device-resident feeding (VERDICT #3); AOT avals differ from the
 #    host-fed r3 cache, so this pays its own compiles once
