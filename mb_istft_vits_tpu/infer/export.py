@@ -204,12 +204,19 @@ class ExportedServing:
         self._infer = {}
         for tb, fb in self.manifest["pairs"]:
             p = os.path.join(artifact_dir, f"probe_t{tb}.jaxexp")
+            # jit the deserialized module's call ONCE: Exported.call is a
+            # staging callable that re-lowers and re-COMPILES on every
+            # invocation (measured 224x live-serving latency when called
+            # raw); under jit the compiled executable is cached per aval
+            # and steady-state calls are a single cached dispatch
             if tb not in self._probe:
                 with open(p, "rb") as fh:
-                    self._probe[tb] = jax.export.deserialize(fh.read())
+                    self._probe[tb] = jax.jit(
+                        jax.export.deserialize(fh.read()).call)
             with open(os.path.join(artifact_dir,
                                    f"infer_t{tb}_f{fb}.jaxexp"), "rb") as fh:
-                self._infer[(tb, fb)] = jax.export.deserialize(fh.read())
+                self._infer[(tb, fb)] = jax.jit(
+                    jax.export.deserialize(fh.read()).call)
 
     # -- frontend (the SAME host-side path as SynthesisModule) ----------
     def text_to_ids(self, text: str,
@@ -258,7 +265,7 @@ class ExportedServing:
             rng = jax.random.PRNGKey(seed)
         else:
             self._rng, rng = jax.random.split(self._rng)
-        frames = int(np.asarray(self._probe[tb].call(
+        frames = int(np.asarray(self._probe[tb](
             self.params, x, xl, sid_arr, _scalar(length_scale),
             _scalar(noise_scale_w), rng))[0])
         fb = next((b for b in fbs if b >= frames), None)
@@ -270,7 +277,7 @@ class ExportedServing:
                 f"predicted {frames} frames exceeds every exported frame "
                 f"bucket {fbs} for text bucket {tb}; re-export with larger "
                 f"--pairs or lower length_scale")
-        pcm16, y_lengths = self._infer[(tb, fb)].call(
+        pcm16, y_lengths = self._infer[(tb, fb)](
             self.params, x, xl, sid_arr, _scalar(noise_scale),
             _scalar(length_scale), _scalar(noise_scale_w), rng)
         y_len = min(int(np.asarray(y_lengths)[0]), fb)
