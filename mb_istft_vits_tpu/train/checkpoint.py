@@ -65,7 +65,8 @@ def wait_for_pending_checkpoint() -> None:
 
 
 def prune_checkpoints(model_dir: str, keep_last: int = 3,
-                      keep_every: int = 25000) -> list:
+                      keep_every: int = 25000,
+                      keep_steps: tuple = ()) -> list:
     """Bound a long run's disk footprint: delete ckpt/<step> dirs except
     the newest `keep_last` and every multiple of `keep_every` (milestone
     checkpoints a later analysis can restore). A flagship checkpoint is
@@ -76,7 +77,11 @@ def prune_checkpoints(model_dir: str, keep_last: int = 3,
 
     Only finalized step dirs are touched — orbax finalizes via tmp-dir
     rename, and the newest step (a possibly in-flight async save) is
-    always in the kept set. Returns the pruned step numbers."""
+    always in the kept set. `keep_steps` protects additional steps —
+    the train loop passes the best-by-eval step (best_checkpoint_step)
+    so a run that ends inside a GAN-dominant episode (the r4 200k run's
+    120-140k MCD-24 window) never ships only the damaged latest weights.
+    Returns the pruned step numbers."""
     root = os.path.join(model_dir, "ckpt")
     if not os.path.isdir(root):
         return []
@@ -84,12 +89,50 @@ def prune_checkpoints(model_dir: str, keep_last: int = 3,
     keep = set(steps[-keep_last:] if keep_last else [])
     if keep_every:
         keep.update(s for s in steps if s % keep_every == 0)
+    keep.update(int(s) for s in keep_steps)
     pruned = []
     for s in steps:
         if s not in keep:
             shutil.rmtree(os.path.join(root, str(s)), ignore_errors=True)
             pruned.append(s)
     return pruned
+
+
+def record_best_checkpoint(model_dir: str, step: int, metric: str,
+                           value: float) -> None:
+    """Persist which checkpoint is best-by-eval (lower = better). Written
+    by the train loop when an eval improves on the stored value; read by
+    prune_checkpoints (protection) and by serving/eval tools via
+    best_checkpoint_step. The reference ships only latest
+    (utils.py:50-79) — its manual listening workflow papered over runs
+    that end mid-GAN-episode; an objective eval lets us do better."""
+    import json
+
+    path = os.path.join(model_dir, "ckpt", "best.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"step": int(step), "metric": metric,
+                   "value": float(value)}, f)
+    os.replace(tmp, path)  # atomic: a reader never sees a partial file
+
+
+def best_checkpoint_step(model_dir: str) -> Optional[dict]:
+    """The recorded best-by-eval checkpoint ({step, metric, value}), or
+    None. Only returns a step whose directory still exists."""
+    import json
+
+    path = os.path.join(model_dir, "ckpt", "best.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        rec = json.load(open(path))
+    except (ValueError, OSError):
+        return None
+    if not os.path.isdir(os.path.join(model_dir, "ckpt",
+                                      str(int(rec.get("step", -1))))):
+        return None
+    return rec
 
 
 def latest_checkpoint_step(model_dir: str) -> Optional[int]:

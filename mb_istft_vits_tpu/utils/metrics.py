@@ -112,6 +112,94 @@ def mel_cepstral_distortion(
     return float((10.0 / np.log(10.0)) * np.mean(per_frame))
 
 
+def mcd_dtw(
+    wav_ref: np.ndarray,
+    wav_syn: np.ndarray,
+    sampling_rate: int,
+    n_cep: int = 13,
+    floor_db: Optional[float] = 60.0,
+    exclude_silence: bool = True,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    n_mels: int = 80,
+) -> dict:
+    """DTW-aligned mel-cepstral distortion for NON-time-aligned pairs.
+
+    The plain ``mel_cepstral_distortion`` assumes frame-aligned signals
+    (copy-synthesis). The text->speech product path (reference
+    models.py:697-737: text -> duration predictor -> generate_path ->
+    flow -> decode) produces its OWN timing, so scoring it against
+    ground truth needs an alignment first — the standard tool is DTW
+    over mel cepstra, with the reported MCD the mean frame-pair
+    distance along the optimal path (the convention of the MCD-DTW
+    literature; e.g. the Blizzard/VC-challenge toolchains).
+
+    DP is computed over anti-diagonals (each depends elementwise on the
+    previous two), the same wavefront formulation as the MAS kernel
+    (ops/mas_pallas.py) — vectorized numpy, no O(F^2) Python loop.
+
+    Returns a dict: ``mcd_dtw`` (dB), ``frames_ref``/``frames_syn``
+    (post-silence-trim frame counts), ``dur_ratio`` (syn/ref frames —
+    the duration-predictor quality signal; 1.0 = perfect pacing) and
+    ``path_len``.
+    """
+    mels = [_log_mel(np.asarray(w, np.float32), sampling_rate, n_fft,
+                     hop_length, win_length, n_mels)
+            for w in (wav_ref, wav_syn)]
+    if floor_db is not None:
+        floor = max(m.max() for m in mels) - floor_db * _NATS_PER_DB
+        if exclude_silence:
+            # trim each signal's own silent frames (leading/trailing
+            # quiet and pauses contribute no spectral evidence but
+            # would otherwise be "aligned" by DTW at zero-ish cost)
+            mels = [m[:, m.max(axis=0) > floor] for m in mels]
+        mels = [np.maximum(m, floor) for m in mels]
+    if any(m.shape[1] == 0 for m in mels):
+        return {"mcd_dtw": 0.0, "frames_ref": int(mels[0].shape[1]),
+                "frames_syn": int(mels[1].shape[1]),
+                "dur_ratio": 0.0, "path_len": 0}
+    dct = _dct_matrix(n_cep, n_mels)
+    ca, cb = ((dct @ m).T[:, 1:] for m in mels)  # [F, n_cep-1], no c0
+    na, nb = len(ca), len(cb)
+    # pairwise frame distances on the MCD scale [na, nb]
+    d2 = (np.sum(ca**2, axis=1)[:, None] + np.sum(cb**2, axis=1)[None, :]
+          - 2.0 * (ca @ cb.T))
+    dist = (10.0 / np.log(10.0)) * np.sqrt(2.0 * np.maximum(d2, 0.0))
+    # DTW accumulate: acc[i,j] = dist[i,j] + min(acc[i-1,j], acc[i,j-1],
+    # acc[i-1,j-1]), swept along anti-diagonals i+j = const
+    INF = np.inf
+    acc = np.full((na, nb), INF)
+    # steps[i,j] counts path length for mean-along-path normalization
+    steps = np.zeros((na, nb), np.int32)
+    acc[0, 0] = dist[0, 0]
+    steps[0, 0] = 1
+    ii_all = np.arange(na)
+    for s in range(1, na + nb - 1):
+        i = ii_all[max(0, s - nb + 1): min(s + 1, na)]
+        j = s - i
+        up = np.where(i > 0, acc[np.maximum(i - 1, 0), j], INF)
+        left = np.where(j > 0, acc[i, np.maximum(j - 1, 0)], INF)
+        diag = np.where((i > 0) & (j > 0),
+                        acc[np.maximum(i - 1, 0), np.maximum(j - 1, 0)], INF)
+        best = np.minimum(np.minimum(up, left), diag)
+        prev_steps = np.where(
+            best == diag, steps[np.maximum(i - 1, 0), np.maximum(j - 1, 0)],
+            np.where(best == up, steps[np.maximum(i - 1, 0), j],
+                     steps[i, np.maximum(j - 1, 0)]))
+        ok = np.isfinite(best)
+        acc[i, j] = np.where(ok, dist[i, j] + np.where(ok, best, 0.0), acc[i, j])
+        steps[i, j] = np.where(ok, prev_steps + 1, steps[i, j])
+    path_len = int(steps[na - 1, nb - 1])
+    return {
+        "mcd_dtw": float(acc[na - 1, nb - 1] / max(path_len, 1)),
+        "frames_ref": int(na),
+        "frames_syn": int(nb),
+        "dur_ratio": float(nb / na),
+        "path_len": path_len,
+    }
+
+
 def yin_f0(
     wav: np.ndarray,
     sampling_rate: int,

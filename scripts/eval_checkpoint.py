@@ -46,6 +46,15 @@ def main():
                     help="also report LSD per frequency quartile "
                          "(0-25/25-50/50-75/75-100%% of Nyquist) — "
                          "locates WHERE the residual error lives")
+    ap.add_argument("--tts", action="store_true",
+                    help="ALSO score the text->speech product path: "
+                         "synthesize each utterance from its TEXT via "
+                         "Synthesizer.infer (duration predictor -> "
+                         "generate_path -> flow -> decode, the "
+                         "reference models.py:697-737) and report "
+                         "DTW-aligned MCD plus the predicted/GT "
+                         "duration ratio. Copy-synthesis proves the "
+                         "vocoder tail; this proves the system.")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +88,25 @@ def main():
         )
         return out
 
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("max_frames",))
+    def infer_fn(x, x_lengths, sid, rng, max_frames):
+        return synth.apply(
+            {"params": params}, x, x_lengths, sid=sid,
+            max_frames=max_frames, method=Synthesizer.infer,
+            rngs={"noise": rng},
+        )
+
     multi = d.n_speakers > 1
+    # one static max_frames for the whole run (one infer compile per
+    # 64-token text bucket): the longest GT with 50% duration headroom
+    tts_max_frames = 0
+    if args.tts:
+        longest = max(len(np.asarray(ds[i]["wav"]).reshape(-1))
+                      for i in range(n))
+        tts_max_frames = ((longest // d.hop_length) * 3 // 2 // 256
+                          + 1) * 256
     rows = []
     for i in range(n):
         item = ds[i]
@@ -128,9 +155,27 @@ def main():
                 la, lb = (10.0 * np.log10(m2[sl]) for m2 in mags)
                 row[f"lsd_q{q}"] = round(float(np.mean(np.sqrt(np.mean(
                     (la - lb) ** 2, axis=0)))), 3)
+        if args.tts:
+            from mb_istft_vits_tpu.utils.metrics import mcd_dtw
+
+            x = np.asarray(item["x"], np.int64)
+            xpad = -(-len(x) // 64) * 64  # 64-token text buckets
+            xb = jnp.asarray(np.pad(x, (0, xpad - len(x)))[None])
+            out = infer_fn(xb, jnp.asarray([len(x)], jnp.int32), sid,
+                           jax.random.PRNGKey(1000 + i), tts_max_frames)
+            n_syn = int(out.y_lengths[0]) * d.hop_length
+            syn = np.asarray(out.o[0, :n_syn, 0], np.float32)
+            t = mcd_dtw(gt, syn, sr, n_fft=d.filter_length,
+                        hop_length=d.hop_length, win_length=d.win_length,
+                        n_mels=min(d.n_mel_channels,
+                                   d.filter_length // 2 + 1))
+            row["mcd_tts_dtw"] = t["mcd_dtw"]
+            row["dur_ratio_tts"] = t["dur_ratio"]
         rows.append(row)
         print(f"[{i+1}/{n}] mcd={row['mcd']:.2f} lsd={row['lsd']:.2f} "
-              f"({row['audio_s']}s)", flush=True)
+              + (f"tts_dtw={row['mcd_tts_dtw']:.2f} "
+                 f"dur={row['dur_ratio_tts']:.2f} " if args.tts else "")
+              + f"({row['audio_s']}s)", flush=True)
 
     def agg(key):
         v = [r[key] for r in rows if key in r]
@@ -148,6 +193,9 @@ def main():
         "vde": agg("vde"),
         "worst_utt": {"i": worst["i"], "mcd": round(worst["mcd"], 3)},
     }
+    if args.tts:
+        summary["mcd_tts_dtw"] = agg("mcd_tts_dtw")
+        summary["dur_ratio_tts"] = agg("dur_ratio_tts")
     if args.bands:
         summary["lsd_bands"] = {f"q{q}": agg(f"lsd_q{q}")["mean"]
                                 for q in range(4)}

@@ -361,6 +361,35 @@ def test_prune_checkpoints(tmp_path):
                              keep_every=25000) == []
 
 
+def test_prune_protects_best_checkpoint(tmp_path):
+    """A run ending inside a GAN-dominant episode must keep the
+    best-by-eval checkpoint: prune_checkpoints(keep_steps=...) protects
+    it, and record/best round-trips through ckpt/best.json."""
+    from mb_istft_vits_tpu.train.checkpoint import (
+        best_checkpoint_step,
+        prune_checkpoints,
+        record_best_checkpoint,
+    )
+
+    steps = [1000, 2000, 3000, 4000, 5000, 6000]
+    for s in steps:
+        (tmp_path / "ckpt" / str(s)).mkdir(parents=True)
+    record_best_checkpoint(str(tmp_path), 2000,
+                           "eval/mcd_copy_synthesis", 5.43)
+    best = best_checkpoint_step(str(tmp_path))
+    assert best == {"step": 2000, "metric": "eval/mcd_copy_synthesis",
+                    "value": 5.43}
+    pruned = prune_checkpoints(str(tmp_path), keep_last=2, keep_every=0,
+                               keep_steps=(best["step"],))
+    assert pruned == [1000, 3000, 4000]
+    left = sorted(int(d.name) for d in (tmp_path / "ckpt").iterdir()
+                  if d.name.isdigit())
+    assert left == [2000, 5000, 6000]
+    # best record whose step dir was deleted reads as None
+    record_best_checkpoint(str(tmp_path), 3000, "m", 1.0)
+    assert best_checkpoint_step(str(tmp_path)) is None
+
+
 def test_lr_schedule():
     cfg = tiny_config()
     from mb_istft_vits_tpu.train.step import make_lr_schedule

@@ -123,7 +123,7 @@ def evaluate(cfg, synth, state, writer, global_step, logger, eval_ds):
     from mb_istft_vits_tpu.utils import plot_alignment_to_numpy, summarize
 
     if eval_ds is None or len(eval_ds) == 0 or writer is None:
-        return
+        return None
     # fetch the (data-parallel-replicated) params to host once: under
     # multi-host SPMD the train-state arrays span all hosts' devices, and
     # a rank-0-only apply on them would launch a collective program from
@@ -146,6 +146,8 @@ def evaluate(cfg, synth, state, writer, global_step, logger, eval_ds):
     # the jitted infer makes this one dispatch per speaker, not hundreds
     sids = (range(cfg.data.n_speakers)
             if cfg.data.n_speakers > 1 else [None])
+    item_sid = int(item.get("sid", 0)) if cfg.data.n_speakers > 1 else None
+    tts_audio = None  # the synthesis matching the GT item's speaker
     for s in sids:
         sid = jnp.asarray([s], jnp.int32) if s is not None else None
         out = infer_jit(state.params_g, x, x_lengths, sid,
@@ -153,6 +155,8 @@ def evaluate(cfg, synth, state, writer, global_step, logger, eval_ds):
         n = int(out.y_lengths[0]) * cfg.data.hop_length
         key = f"gen/audio_spk_{s}" if s is not None else "gen/audio"
         audio_dict[key] = np.asarray(out.o[0, :n, 0])
+        if s == item_sid:
+            tts_audio = audio_dict[key]
     images = {
         "eval/attn": plot_alignment_to_numpy(
             np.asarray(out.attn[0, : int(out.y_lengths[0])])
@@ -196,6 +200,24 @@ def evaluate(cfg, synth, state, writer, global_step, logger, eval_ds):
             scalars["eval/voicing_decision_error"] = (
                 f0m["voicing_decision_error"])
         audio_dict["gen/audio_copy_synthesis"] = recon[: len(gt)]
+        # TTS-path objective score (VERDICT r4 #2): the infer output above
+        # is the PRODUCT path (text -> duration predictor -> alignment ->
+        # flow -> decode, reference models.py:697-737) — score it against
+        # GT with DTW-aligned MCD (it carries its own timing) plus the
+        # predicted/GT duration ratio. Copy-synthesis proves the vocoder
+        # tail; this proves the system.
+        if tts_audio is not None and len(tts_audio) > 0:
+            from mb_istft_vits_tpu.utils.metrics import mcd_dtw
+
+            t = mcd_dtw(
+                gt, np.asarray(tts_audio, np.float32), sr,
+                n_fft=cfg.data.filter_length,
+                hop_length=cfg.data.hop_length,
+                win_length=cfg.data.win_length,
+                n_mels=min(cfg.data.n_mel_channels,
+                           cfg.data.filter_length // 2 + 1))
+            scalars["eval/mcd_tts_dtw"] = t["mcd_dtw"]
+            scalars["eval/dur_ratio_tts"] = t["dur_ratio"]
     except Exception:
         logger.exception("eval: copy-synthesis metrics failed")
     summarize(writer, global_step, scalars=scalars, images=images,
@@ -207,6 +229,7 @@ def evaluate(cfg, synth, state, writer, global_step, logger, eval_ds):
                                   for k, v in scalars.items()))
     logger.info("eval: wrote %d audio clips in %.2fs", len(audio_dict),
                 _time.monotonic() - t_eval0)
+    return scalars
 
 
 def main():
@@ -289,9 +312,11 @@ def main():
     from mb_istft_vits_tpu.parallel import create_mesh, shard_batch
     from mb_istft_vits_tpu.train import create_train_state, make_train_step
     from mb_istft_vits_tpu.train.checkpoint import (
+        best_checkpoint_step,
         latest_checkpoint_step,
         load_checkpoint,
         prune_checkpoints,
+        record_best_checkpoint,
         save_checkpoint,
     )
 
@@ -459,6 +484,11 @@ def main():
     lr_schedule = make_lr_schedule(cfg)
     eval_ds = make_eval_dataset(cfg, logger) if is_rank0 else None
 
+    # best-by-eval tracker, resumed across relaunches from ckpt/best.json
+    prev_best = best_checkpoint_step(model_dir) if is_rank0 else None
+    best_eval = {"step": (prev_best or {}).get("step"),
+                 "value": (prev_best or {}).get("value")}
+
     def preempt_agreed() -> bool:
         """Multi-host: hosts must AGREE on when to enter the collective
         checkpoint save — preemption SIGTERMs land milliseconds apart,
@@ -509,9 +539,10 @@ def main():
                     for k, v in m.items():
                         writer.add_scalar(k, v, global_step)
             if global_step % cfg.train.eval_interval == 0:
+                eval_scalars = None
                 if is_rank0:
-                    evaluate(cfg, synth, state, writer, global_step, logger,
-                             eval_ds)
+                    eval_scalars = evaluate(cfg, synth, state, writer,
+                                            global_step, logger, eval_ds)
                 # orbax save is a COLLECTIVE under multi-host (barrier +
                 # distributed array gather): every process must enter it,
                 # or rank 0 deadlocks against ranks already in the next
@@ -520,7 +551,24 @@ def main():
                 save_checkpoint(model_dir, global_step, state, wait=False)
                 if is_rank0:
                     logger.info("saved checkpoint at %d", global_step)
-                    pruned = prune_checkpoints(model_dir)
+                    # best-by-eval tracking: a run that ends inside a
+                    # GAN-dominant episode (r4's 120-140k MCD-24 window)
+                    # must never ship only the damaged latest weights
+                    mcd = (eval_scalars or {}).get(
+                        "eval/mcd_copy_synthesis")
+                    if mcd is not None and (
+                            best_eval["value"] is None
+                            or mcd < best_eval["value"]):
+                        best_eval.update(step=global_step, value=mcd)
+                        record_best_checkpoint(
+                            model_dir, global_step,
+                            "eval/mcd_copy_synthesis", mcd)
+                        logger.info("best checkpoint: step %d "
+                                    "(mcd_copy_synthesis %.3f)",
+                                    global_step, mcd)
+                    keep = ((best_eval["step"],)
+                            if best_eval["step"] is not None else ())
+                    pruned = prune_checkpoints(model_dir, keep_steps=keep)
                     if pruned:
                         logger.info("pruned checkpoints: %s", pruned)
             if preempt_agreed():
