@@ -538,3 +538,64 @@ def test_raw_japanese_text_routes_through_serving_cleaner(module,
     ids_cleaned = module.text_to_ids("k o N n i t i h a", cleaned=True)
     assert len(ids_raw) > 0
     assert np.array_equal(ids_raw, ids_cleaned)
+
+
+def test_long_text_auto_route(module):
+    """Texts beyond MAX_TEXT_TOKENS auto-route through the phrase-split
+    path (VERDICT r4 #6): pieces cut at pause symbols, each synthesized
+    by the same bounded compiled buckets, concatenated — instead of
+    compiling a quadratic-attention program (or OOMing) on one huge
+    text. Exercises a ~5k-token input through the PUBLIC API."""
+    old = module.MAX_TEXT_TOKENS
+    module.MAX_TEXT_TOKENS = 48
+    try:
+        # ~25 phoneme tokens with a pause marker per sentence; repeated
+        # to ~5k ids after blank-interspersal
+        sent = "k o N n i t i w a s e k a i sp "
+        long_text = sent * 170
+        ids = module.text_to_ids(long_text)
+        assert len(ids) > 4500, len(ids)
+        audio, timings = module.synthesize(long_text, seed=0)
+        assert timings["pieces"] > 1
+        assert np.all(np.isfinite(audio)) and len(audio) > 0
+        assert len(audio) % module.hop_length == 0
+        # every piece respected the single-program ceiling
+        assert timings["frame_bucket"] <= module.MAX_FRAMES
+        # piece seams: the audio is the concatenation of per-piece calls;
+        # total time accounting holds
+        assert timings["dispatch"] + timings["sync"] <= timings["total"]
+
+        # want_z path concatenates latents too
+        audio2, z, _ = module.synthesize_with_z(long_text, seed=0)
+        assert z is not None and z.ndim == 2
+        assert len(audio2) == z.shape[0] * module.hop_length
+    finally:
+        module.MAX_TEXT_TOKENS = old
+
+
+def test_split_long_ids_prefers_boundaries(module):
+    """_split_long_ids cuts AFTER the last pause/punct token inside each
+    window and hard-splits only boundary-free windows."""
+    symbols = None
+    from mb_istft_vits_tpu.text import get_symbols
+    symbols = get_symbols(module.data_cfg.text_module)
+    sp = symbols.index("sp")
+    a = symbols.index("a")
+    old = module.MAX_TEXT_TOKENS
+    module.MAX_TEXT_TOKENS = 10
+    try:
+        # boundaries at 4 and 13: first cut lands after index 4 (the
+        # last boundary within the first 10-token window), second window
+        # 5..14 has the boundary at 13 -> cut at 14, remainder is short
+        ids = np.array([a] * 4 + [sp] + [a] * 8 + [sp] + [a] * 3)
+        pieces = module._split_long_ids(ids)
+        assert [len(p) for p in pieces] == [5, 9, 3]
+        assert pieces[0][-1] == sp and pieces[1][-1] == sp
+        # no boundaries at all -> hard splits at the limit
+        ids2 = np.array([a] * 25)
+        pieces2 = module._split_long_ids(ids2)
+        assert [len(p) for p in pieces2] == [10, 10, 5]
+        # round-trip: concatenation preserves the sequence
+        assert np.concatenate(pieces).tolist() == ids.tolist()
+    finally:
+        module.MAX_TEXT_TOKENS = old
