@@ -161,12 +161,14 @@ def main():
     if os.environ.get("MBIV_BENCH_SWEEP", "0") == "1":
         base = ("ðɪs ɪz ɐ tɛst ʌv ðə mʌltibænd ɪnvɜːs ʃɔːɹt taɪm "
                 "fʊɹiɐ tɹænsfɔːɹm sɪstəm. ")
-        # xlong: ~2700 tokens -> ~9k frames, past the bucket table into
-        # the granule path (kept under ~3k tokens: the rel-pos attention
-        # materializes [1, H, T, T] intermediates, and the true
-        # MAX_FRAMES=16384 shape would hold ~370 MB per buffer)
+        # xlong_granule: ~900 tokens — past the bucket table into the
+        # single-program granule path but under MAX_TEXT_TOKENS.
+        # xlong_routed: ~5400 tokens — the AUTO-ROUTED long-text path
+        # (phrase-split into <=MAX_TEXT_TOKENS pieces; no quadratic
+        # attention blowup, previously this length was un-benchable)
         cases = {"short": "həlˈoʊ wɜːld.", "headline": text,
-                 "long_4x": base * 6, "xlong_granule": base * 24}
+                 "long_4x": base * 6, "xlong_granule": base * 8,
+                 "xlong_routed": base * 48}
         sweep = {}
         for name, txt in cases.items():
             for _ in range(2):
@@ -177,27 +179,32 @@ def main():
                 module.synthesize(txt, seed=0)
                 e2e_i.append((time.perf_counter() - t0) / secs)
             ids_i = module.text_to_ids(txt)
-            x_i, xl_i = module._pad_ids_cached(ids_i)
-            fn_i = module._infer_jit(t["frame_bucket"])
-            dev_i = []
-            k = 10
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(k):
-                    _, pcm_i = fn_i(module.params, x_i, xl_i, None,
-                                    module._dev_scalar(0.667),
-                                    module._dev_scalar(1.0),
-                                    module._dev_scalar(0.8),
-                                    jax.random.PRNGKey(0))
-                jax.device_get(pcm_i.ravel()[:1])
-                dev_i.append(
-                    max(time.perf_counter() - t0 - rtt, 0.0) / k / secs)
-            sweep[name] = {
+            entry = {
                 "audio_s": round(secs, 2),
                 "frame_bucket": t["frame_bucket"],
-                "rtf_device": round(float(np.median(dev_i)), 6),
                 "rtf_e2e": round(float(np.median(e2e_i)), 6),
             }
+            if len(ids_i) <= module.MAX_TEXT_TOKENS:
+                # single-program case: device-only RTF via repeat-dispatch
+                x_i, xl_i = module._pad_ids_cached(ids_i)
+                fn_i = module._infer_jit(t["frame_bucket"])
+                dev_i = []
+                k = 10
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(k):
+                        _, pcm_i = fn_i(module.params, x_i, xl_i, None,
+                                        module._dev_scalar(0.667),
+                                        module._dev_scalar(1.0),
+                                        module._dev_scalar(0.8),
+                                        jax.random.PRNGKey(0))
+                    jax.device_get(pcm_i.ravel()[:1])
+                    dev_i.append(
+                        max(time.perf_counter() - t0 - rtt, 0.0) / k / secs)
+                entry["rtf_device"] = round(float(np.median(dev_i)), 6)
+            else:
+                entry["pieces"] = t.get("pieces")
+            sweep[name] = entry
         result["rtf_by_length"] = sweep
 
     print(json.dumps(result))
