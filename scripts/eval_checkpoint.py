@@ -55,6 +55,12 @@ def main():
                          "DTW-aligned MCD plus the predicted/GT "
                          "duration ratio. Copy-synthesis proves the "
                          "vocoder tail; this proves the system.")
+    ap.add_argument("--save-audio", default=None, metavar="DIR",
+                    help="write GT / copy-synthesis / TTS wavs for the "
+                         "first 3 utterances to DIR — durable on-disk "
+                         "audio evidence committed alongside the JSON "
+                         "(the r4 lesson: artifacts queued for later "
+                         "are artifacts lost)")
     args = ap.parse_args()
 
     import jax
@@ -171,6 +177,19 @@ def main():
                                    d.filter_length // 2 + 1))
             row["mcd_tts_dtw"] = t["mcd_dtw"]
             row["dur_ratio_tts"] = t["dur_ratio"]
+        if args.save_audio and i < 3:
+            from mb_istft_vits_tpu.utils.observability import (
+                encode_wav_bytes,
+            )
+
+            os.makedirs(args.save_audio, exist_ok=True)
+            clips = {"gt": gt, "copy": recon[: len(gt)]}
+            if args.tts:
+                clips["tts"] = syn
+            for tag, wav in clips.items():
+                with open(os.path.join(args.save_audio,
+                                       f"utt{i}_{tag}.wav"), "wb") as fh:
+                    fh.write(encode_wav_bytes(wav, sr))
         rows.append(row)
         print(f"[{i+1}/{n}] mcd={row['mcd']:.2f} lsd={row['lsd']:.2f} "
               + (f"tts_dtw={row['mcd_tts_dtw']:.2f} "
