@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--text", default="həlˈoʊ wɜːld.")
+    ap.add_argument("--floor", action="store_true",
+                    help="also break the SHORT-utterance device cost "
+                         "down op-by-op (probe / latents / decode / "
+                         "full programs at the short bucket, repeat-"
+                         "dispatch timed, RTT-corrected) — quantifies "
+                         "the fixed per-dispatch floor the micro-batch "
+                         "amortizes")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -93,6 +100,72 @@ def main():
                           "rtf": wall / max(total_audio, 1e-9),
                           "batched": batched})
 
+    floor = None
+    if args.floor:
+        import jax
+
+        ids = module.text_to_ids(texts[0])
+        x, xl = module._pad_ids_cached(ids)
+        sid = module._sid(None)
+        ns = module._dev_scalar(0.667)
+        ls = module._dev_scalar(1.0)
+        nsw = module._dev_scalar(0.8)
+        rng = jax.random.PRNGKey(0)
+        secs = float(t1["audio_seconds"])
+        bucket = int(t1["frame_bucket"])
+
+        # measure tunnel RTT once: empty-fetch of a tiny resident array
+        tiny = module._dev_scalar(0.0)
+        rtts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            jax.device_get(tiny)
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+
+        def dev_ms(launch, k=20, reps=3):
+            """Repeat-dispatch k programs, one sync; device executes the
+            queue serially so drain/k = device time per program."""
+            out = launch()
+            leaves = [a for a in jax.tree.leaves(out)
+                      if hasattr(a, "dtype")]
+            jax.device_get(leaves[-1].ravel()[:1])
+            best = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    out = launch()
+                leaves = [a for a in jax.tree.leaves(out)
+                          if hasattr(a, "dtype")]
+                jax.device_get(leaves[-1].ravel()[:1])
+                best.append(max(time.perf_counter() - t0 - rtt, 0.0)
+                            / k * 1e3)
+            return round(float(np.median(best)), 3)
+
+        full_fn = module._infer_jit(bucket)
+        lat_fn = module._latents_jit(bucket)
+        dec_fn = module._decode_jit(bucket)
+        z0 = jax.numpy.zeros((1, bucket, module.cfg.inter_channels),
+                             module.compute_dtype)
+        probe_ms = dev_ms(lambda: module._probe_jit_call(
+            x, xl, sid, ls, nsw, rng))
+        latents_ms = dev_ms(lambda: lat_fn(module.params, x, xl, sid, ns,
+                                           ls, nsw, rng))
+        decode_ms = dev_ms(lambda: dec_fn(module.params, z0, sid))
+        full_ms = dev_ms(lambda: full_fn(module.params, x, xl, sid, ns,
+                                         ls, nsw, rng))
+        floor = {
+            "audio_s": round(secs, 3),
+            "frame_bucket": bucket,
+            "rtt_ms": round(rtt * 1e3, 2),
+            "probe_enc_dp_ms": probe_ms,
+            "latents_ms": latents_ms,
+            "align_flow_ms": round(max(latents_ms - probe_ms, 0.0), 3),
+            "decode_ms": decode_ms,
+            "full_infer_ms": full_ms,
+            "rtf_device_full": round(full_ms / 1e3 / secs, 5),
+        }
+
     eff = sorted(w["rtf"] for w in waves)
     out = {
         "metric": "short_utterance_serving",
@@ -104,6 +177,8 @@ def main():
         "coalesced": int(np.median([w["batched"] for w in waves])),
         "waves": waves[:3],
     }
+    if floor is not None:
+        out["short_floor"] = floor
     print(json.dumps(out))
 
 
